@@ -1,0 +1,244 @@
+"""Config system mirroring the reference YAML schema.
+
+Parity with ``include/read_configs.h`` (struct fields) and
+``src/camera.cc:20-75`` (camera YAML).  All config dataclasses are frozen
+and hashable so they can be static arguments to ``jax.jit``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import yaml
+
+
+@dataclasses.dataclass(frozen=True)
+class DatasetConfig:
+    """/root/reference/include/read_configs.h:9-13."""
+
+    dataroot: str = ""
+    image_dir_name: str = ""
+    camera_file: str = ""
+
+
+@dataclasses.dataclass(frozen=True)
+class CFConfig:
+    """KCC engine parameters — /root/reference/include/read_configs.h:15-25.
+
+    ``lambda_`` is the ridge regularizer λ; ``kernel`` selects 0=polynomial /
+    1=gaussian (/root/reference/src/correlation_flow.cc:157-169).
+    """
+
+    width: int = 640
+    height: int = 480
+    lambda_: float = 0.1
+    kernel: int = 0
+    sigma: float = 0.2
+    offset: float = 0.1
+    power: int = 3
+    rotation_divisor: int = 720
+    rotation_channel: int = 480
+
+
+@dataclasses.dataclass(frozen=True)
+class KeyframeSelectionConfig:
+    """/root/reference/include/read_configs.h:27-32."""
+
+    max_distance: float = 0.4
+    max_angle: float = 0.052359877
+    lower_response_thr: float = 30.0
+    upper_response_thr: float = 90.0
+
+
+@dataclasses.dataclass(frozen=True)
+class MapConfig:
+    """/root/reference/include/read_configs.h:34-36 plus TPU capacities.
+
+    The reference's stores grow unboundedly (SURVEY §5); the TPU build uses
+    preallocated HBM ring buffers with explicit capacities.
+    """
+
+    grid_scale: float = 0.1
+    keyframe_capacity: int = 512
+    edge_capacity: int = 2048
+    store_images: bool = True  # needed by the stitcher; disable to save HBM
+
+
+@dataclasses.dataclass(frozen=True)
+class LoopClosureConfig:
+    """/root/reference/include/read_configs.h:38-44 plus candidate cap.
+
+    ``max_candidates`` bounds the batched re-registration fan-out per
+    keyframe (the reference evaluates every frame in the 3×3 grid
+    neighborhood; the TPU build evaluates up to ``max_candidates`` of them
+    in one vmapped batch).
+    """
+
+    to_find_loop: bool = True
+    position_response_thr: float = 60.0
+    angle_response_thr: float = 60.0
+    frame_gap_thr: int = 100
+    distance_thr: float = 5.0
+    max_candidates: int = 8
+    pending_capacity: int = 32
+
+
+@dataclasses.dataclass(frozen=True)
+class MapStitcherConfig:
+    """/root/reference/include/read_configs.h:46-49 plus canvas bounds.
+
+    The reference tiles an infinite plane into hash-keyed ``cell_size²``
+    chunks; the TPU build rasterizes into a bounded scatter-add canvas of
+    ``canvas_cells × canvas_cells`` cells centered on the origin.
+    """
+
+    stitch_map: bool = True
+    cell_size: int = 1000
+    canvas_cells: int = 3
+
+
+@dataclasses.dataclass(frozen=True)
+class SavingConfig:
+    """/root/reference/include/read_configs.h:59-62."""
+
+    saving_root: str = "./saving"
+    save_pose: bool = True
+
+
+@dataclasses.dataclass(frozen=True)
+class CameraConfig:
+    """Camera calibration — /root/reference/src/camera.cc:20-75.
+
+    ``intrinsics = (fx, cx, fy, cy)``; ``distortion = (k1, k2, p1, p2, k3)``;
+    ``extrinsics`` is the row-major 3×3 applied to metric ``(x, y, θ)``
+    vectors; ``height`` is the camera height above ground (metric scale).
+    """
+
+    image_width: int = 640
+    image_height: int = 480
+    height: float = 1.0
+    accurate_height: bool = True
+    intrinsics: Tuple[float, float, float, float] = (500.0, 320.0, 500.0, 240.0)
+    distortion: Tuple[float, float, float, float, float] = (0.0, 0.0, 0.0, 0.0, 0.0)
+    extrinsics: Tuple[float, ...] = (1.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 1.0)
+
+
+@dataclasses.dataclass(frozen=True)
+class SlamConfig:
+    """Top-level config bundle — parity with ``Configs``
+    (/root/reference/include/read_configs.h:64-133)."""
+
+    dataset: DatasetConfig = DatasetConfig()
+    cf: CFConfig = CFConfig()
+    keyframe_selection: KeyframeSelectionConfig = KeyframeSelectionConfig()
+    map: MapConfig = MapConfig()
+    loop_closure: LoopClosureConfig = LoopClosureConfig()
+    map_stitcher: MapStitcherConfig = MapStitcherConfig()
+    saving: SavingConfig = SavingConfig()
+    camera: CameraConfig = CameraConfig()
+
+
+def load_camera_config(path: str) -> CameraConfig:
+    """Load the camera YAML (schema of /root/reference/src/camera.cc:20-75)."""
+    with open(path) as f:
+        node = yaml.safe_load(f)
+    k = node["intrinsics"]["data"]
+    d = node["distortion"]["data"]
+    e = node["extrinsics"]["data"]
+    return CameraConfig(
+        image_width=int(node["image_size"][0]),
+        image_height=int(node["image_size"][1]),
+        height=float(node["height"]),
+        accurate_height=bool(node["accurate_height"]),
+        intrinsics=(float(k[0]), float(k[1]), float(k[2]), float(k[3])),
+        distortion=tuple(float(x) for x in d[:5]),
+        extrinsics=tuple(float(x) for x in e[:9]),
+    )
+
+
+def load_config(path: str, *, load_camera: bool = True) -> SlamConfig:
+    """Load the main YAML (schema of /root/reference/include/read_configs.h:74-132).
+
+    Unknown keys are ignored; TPU-only fields (capacities, candidate caps)
+    may be given under the same blocks and override the defaults.
+    """
+    with open(path) as f:
+        node = yaml.safe_load(f)
+
+    ds = node.get("dataset", {})
+    dataset = DatasetConfig(
+        dataroot=ds.get("dataroot", ""),
+        image_dir_name=ds.get("image_dir_name", ""),
+        camera_file=ds.get("camera_config", ""),
+    )
+
+    cfn = node.get("correlation_flow", {})
+    cf = CFConfig(
+        width=int(cfn.get("width", 640)),
+        height=int(cfn.get("height", 480)),
+        lambda_=float(cfn.get("lambda", 0.1)),
+        kernel=int(cfn.get("kernel", 0)),
+        sigma=float(cfn.get("gaussian", {}).get("sigma", 0.2)),
+        offset=float(cfn.get("polynomial", {}).get("offset", 0.1)),
+        power=int(cfn.get("polynomial", {}).get("power", 3)),
+        rotation_divisor=int(cfn.get("rotation_divisor", 720)),
+        rotation_channel=int(cfn.get("rotation_channel", 480)),
+    )
+
+    kfn = node.get("keyframe_selection", {})
+    kfs = KeyframeSelectionConfig(
+        max_distance=float(kfn.get("max_distance", 0.4)),
+        max_angle=float(kfn.get("max_angle", 0.052359877)),
+        lower_response_thr=float(kfn.get("lower_response_thr", 30.0)),
+        upper_response_thr=float(kfn.get("upper_response_thr", 90.0)),
+    )
+
+    mpn = node.get("map", {})
+    mp = MapConfig(
+        grid_scale=float(mpn.get("grid_scale", 0.1)),
+        keyframe_capacity=int(mpn.get("keyframe_capacity", 512)),
+        edge_capacity=int(mpn.get("edge_capacity", 2048)),
+        store_images=bool(mpn.get("store_images", True)),
+    )
+
+    lcn = node.get("loop_closure", {})
+    lc = LoopClosureConfig(
+        to_find_loop=bool(lcn.get("to_find_loop", True)),
+        position_response_thr=float(lcn.get("position_response_thr", 60.0)),
+        angle_response_thr=float(lcn.get("angle_response_thr", 60.0)),
+        frame_gap_thr=int(lcn.get("frame_gap_thr", 100)),
+        distance_thr=float(lcn.get("distance_thr", 5.0)),
+        max_candidates=int(lcn.get("max_candidates", 8)),
+        pending_capacity=int(lcn.get("pending_capacity", 32)),
+    )
+
+    # Note the reference's YAML key is (sic) "map_sticther"
+    # (/root/reference/include/read_configs.h:118); accept both spellings.
+    msn = node.get("map_sticther", node.get("map_stitcher", {}))
+    ms = MapStitcherConfig(
+        stitch_map=bool(msn.get("stitch_map", True)),
+        cell_size=int(msn.get("cell_size", 1000)),
+        canvas_cells=int(msn.get("canvas_cells", 3)),
+    )
+
+    svn = node.get("saving", {})
+    sv = SavingConfig(
+        saving_root=svn.get("saving_root", "./saving"),
+        save_pose=bool(svn.get("save_pose", True)),
+    )
+
+    camera = CameraConfig(image_width=cf.width, image_height=cf.height)
+    if load_camera and dataset.camera_file:
+        camera = load_camera_config(dataset.camera_file)
+
+    return SlamConfig(
+        dataset=dataset,
+        cf=cf,
+        keyframe_selection=kfs,
+        map=mp,
+        loop_closure=lc,
+        map_stitcher=ms,
+        saving=sv,
+        camera=camera,
+    )

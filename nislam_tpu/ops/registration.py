@@ -1,0 +1,231 @@
+"""Kernel Cross-Correlator (KCC) registration — the front-end core.
+
+Behavioral re-implementation of ``CorrelationFlow``
+(/root/reference/src/correlation_flow.cc), redesigned as pure, batched,
+``vmap``/``jit``-friendly functions over static-shape arrays:
+
+- :func:`compute_intermedium` — per-frame feature extraction
+  (image spectrum + polar spectrum of the power transform),
+- :func:`estimate_trans` — one closed-form registration (filter solve,
+  correlation response, argmax → shift, peak-to-sidelobe confidence),
+- :func:`compute_pose` — full (x, y, θ) estimate with log-polar rotation
+  recovery and the 180° power-spectrum ambiguity resolution in both
+  tracking and loop-closure modes.
+
+Everything compiles into one XLA program with no data-dependent control
+flow (``jnp.where`` instead of branching), so a tracked frame costs a
+handful of batched rFFTs + elementwise spectral algebra + two reductions.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from nislam_tpu.core.config import CFConfig
+from nislam_tpu.ops.fft import fftshift2, impulse_spectrum, irfft2, rfft2
+from nislam_tpu.ops.warp import polar_grid, rotate_wrap, warp_polar
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class CFOps:
+    """Precomputed KCC state: target spectra + polar sampling grid.
+
+    The reference precomputes ``target_fft`` and ``target_rotation_fft`` in
+    its constructor (/root/reference/src/correlation_flow.cc:37-44); the
+    polar grid replaces OpenCV's per-call ``warpPolar`` map.  The config is
+    static metadata (hashable → part of the jit cache key); arrays are leaves.
+    """
+
+    cfg: CFConfig = dataclasses.field(metadata=dict(static=True))
+    target_fft: jnp.ndarray  # (H, W//2+1) c64 — impulse spectrum at image size
+    target_rot_fft: jnp.ndarray  # (D, C//2+1) c64 — impulse spectrum at polar size
+    polar_x: jnp.ndarray  # (D, C) f32 — polar sampling grid columns
+    polar_y: jnp.ndarray  # (D, C) f32 — polar sampling grid rows
+
+
+def make_cf_ops(cfg: CFConfig) -> CFOps:
+    px, py = polar_grid(cfg.height, cfg.width, cfg.rotation_divisor, cfg.rotation_channel)
+    return CFOps(
+        cfg=cfg,
+        target_fft=impulse_spectrum(cfg.height, cfg.width),
+        target_rot_fft=impulse_spectrum(cfg.rotation_divisor, cfg.rotation_channel),
+        polar_x=jnp.asarray(px),
+        polar_y=jnp.asarray(py),
+    )
+
+
+def remove_zero_component(x: jnp.ndarray) -> jnp.ndarray:
+    """Suppress the DC spike of the power transform.
+
+    Parity with /root/reference/src/correlation_flow.cc:79-87: row 0 becomes
+    the mean of rows 1 and -1, then column 0 becomes the mean of columns 1
+    and -1 — both computed from the *original* array, with the column rule
+    winning at the (0, 0) corner.
+    """
+    row0 = (x[..., 1, :] + x[..., -1, :]) / 2.0
+    col0 = (x[..., :, 1] + x[..., :, -1]) / 2.0
+    y = x.at[..., 0, :].set(row0)
+    return y.at[..., :, 0].set(col0)
+
+
+def _kernel_spectrum(
+    xf: jnp.ndarray, zf: jnp.ndarray, shape: Tuple[int, int], cfg: CFConfig
+) -> jnp.ndarray:
+    """FFT of ``kernel(x, z)`` for the configured kernel.
+
+    Polynomial (/root/reference/src/correlation_flow.cc:208-226):
+    ``K = ((IFFT(xf·conj(zf)) + offset)^power) / max|K|``.
+
+    Gaussian (:181-206): ``K = exp(-(xx+zz-2·IFFT(xf·conj(zf)))/(N·σ²))``
+    normalized by its max.  The ``xx``/``zz`` energy terms are constant over
+    the array, and a constant offset in the exponent cancels exactly under
+    the max-normalization, so they are algebraically dropped here (the
+    reference's half-spectrum "Parseval" sums differ from true energies for
+    the same reason without affecting the result).
+    """
+    xz = irfft2(xf * jnp.conj(zf), shape)
+    if cfg.kernel == 0:
+        k = (xz + cfg.offset) ** cfg.power
+        k = k / jnp.max(jnp.abs(k), axis=(-2, -1), keepdims=True)
+    elif cfg.kernel == 1:
+        n = shape[0] * shape[1]
+        e = (2.0 / (cfg.sigma * cfg.sigma * n)) * xz
+        # exp(e - max e) IS the max-normalized kernel (exp is positive and
+        # monotone), and stays overflow-free for small σ.
+        k = jnp.exp(e - jnp.max(e, axis=(-2, -1), keepdims=True))
+    else:
+        raise ValueError(f"invalid kernel type {cfg.kernel}")
+    return rfft2(k)
+
+
+def psr(g: jnp.ndarray, peak: jnp.ndarray) -> jnp.ndarray:
+    """Peak-to-sidelobe ratio confidence.
+
+    Parity with ``GetInfo`` (/root/reference/src/correlation_flow.cc:238-243):
+    ``(peak - mean_sidelobe) / (std + 1e-7)`` with
+    ``mean_sidelobe = (Σg - peak)/(N-1)`` and
+    ``std = sqrt(mean((g - mean_sidelobe)²))``.
+    """
+    n = g.shape[-2] * g.shape[-1]
+    side_mean = (jnp.sum(g, axis=(-2, -1)) - peak) / (n - 1)
+    sm = side_mean[..., None, None]
+    std = jnp.sqrt(jnp.mean((g - sm) ** 2, axis=(-2, -1)))
+    return (peak - side_mean) / (std + 1e-7)
+
+
+def estimate_trans(
+    zf: jnp.ndarray,
+    xf: jnp.ndarray,
+    target_fft: jnp.ndarray,
+    shape: Tuple[int, int],
+    cfg: CFConfig,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One closed-form KCC registration of ``xf`` against keyframe ``zf``.
+
+    Returns ``(trans, psr)`` with ``trans = (-(row - H//2), -(col - W//2))``
+    from the argmax of ``g = IFFT(target/(Kzz+λ) · Kxz)`` — parity with
+    ``EstimateTrans`` (/root/reference/src/correlation_flow.cc:145-179),
+    including the row-major argmax tie-break (first maximum wins).
+    Batched over leading axes of ``zf``/``xf``.
+    """
+    h, w = shape
+    kzz = _kernel_spectrum(zf, zf, shape, cfg)
+    kxz = _kernel_spectrum(xf, zf, shape, cfg)
+    filt = target_fft / (kzz + cfg.lambda_)
+    g = irfft2(filt * kxz, shape)
+    flat = g.reshape(*g.shape[:-2], h * w)
+    idx = jnp.argmax(flat, axis=-1)
+    peak = jnp.take_along_axis(flat, idx[..., None], axis=-1)[..., 0]
+    row = (idx // w).astype(jnp.float32)
+    col = (idx % w).astype(jnp.float32)
+    trans = jnp.stack([-(row - h // 2), -(col - w // 2)], axis=-1)
+    return trans, psr(g, peak)
+
+
+def compute_intermedium(
+    image: jnp.ndarray, ops: CFOps
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-frame features: ``(fft_result, fft_polar)``.
+
+    Parity with ``ComputeIntermedium`` (/root/reference/src/
+    correlation_flow.cc:89-95): image spectrum; inverse transform of its
+    magnitude (translation-invariant power transform); DC suppression;
+    fftshift; polar resampling; spectrum of the polar map.
+    """
+    cfg = ops.cfg
+    f = rfft2(image)
+    power = irfft2(jnp.abs(f), (cfg.height, cfg.width))
+    high = remove_zero_component(power)
+    pol = warp_polar(fftshift2(high), ops.polar_x, ops.polar_y)
+    return f, rfft2(pol)
+
+
+def normalize_degree(deg: jnp.ndarray) -> jnp.ndarray:
+    """Map degrees into [-180, 180) — parity with ``NormalizeDegree``
+    (/root/reference/src/utils.cc:173-175)."""
+    return deg - 360.0 * jnp.floor((deg + 180.0) / 360.0)
+
+
+def compute_pose(
+    last_fft: jnp.ndarray,
+    image: jnp.ndarray,
+    last_polar_fft: jnp.ndarray,
+    cur_polar_fft: jnp.ndarray,
+    ops: CFOps,
+    *,
+    large_rotation: bool,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Full (x, y, θ) registration of ``image`` against a keyframe.
+
+    Parity with ``ComputePose`` (/root/reference/src/correlation_flow.cc:
+    97-143):
+
+    1. rotation from the polar spectra (row shift → degrees),
+    2. 180° ambiguity: tracking mode (``large_rotation=False``) folds
+       ``|deg| > 90`` by −180 and runs ONE translation estimate; loop mode
+       evaluates both de-rotations batched and keeps the higher-PSR one,
+    3. returns ``pose = (trans_col, trans_row, θ)`` — note the x/y swap of
+       correlation_flow.cc:136-138 — and ``info = (psr_t, psr_t, psr_r)``.
+
+    The reference's discarded rectification warp (:141) is dead compute and
+    intentionally not reproduced.  ``large_rotation`` is static: the two
+    modes trace to different XLA programs (one vs. two batched transforms).
+    """
+    cfg = ops.cfg
+    pshape = (cfg.rotation_divisor, cfg.rotation_channel)
+    ishape = (cfg.height, cfg.width)
+
+    rots, info_rot = estimate_trans(
+        last_polar_fft, cur_polar_fft, ops.target_rot_fft, pshape, cfg
+    )
+    degree = normalize_degree(rots[..., 0] * (2.0 / cfg.rotation_divisor) * 180.0)
+
+    if not large_rotation:
+        degree = jnp.where(jnp.abs(degree) > 90.0, degree - 180.0, degree)
+        rot = rotate_wrap(image, -degree)
+        trans, info_trans = estimate_trans(
+            last_fft, rfft2(rot), ops.target_fft, ishape, cfg
+        )
+    else:
+        # Both hypotheses in one batched rotate + FFT + registration.
+        degs = jnp.stack([-degree, -degree + 180.0], axis=-1)  # (..., 2)
+        rot2 = rotate_wrap(image[..., None, :, :], degs)  # (..., 2, H, W)
+        trans2, info2 = estimate_trans(
+            last_fft[..., None, :, :], rfft2(rot2), ops.target_fft, ishape, cfg
+        )
+        take_veri = info2[..., 1] > info2[..., 0]
+        info_trans = jnp.where(take_veri, info2[..., 1], info2[..., 0])
+        trans = jnp.where(take_veri[..., None], trans2[..., 1, :], trans2[..., 0, :])
+        degree = jnp.where(take_veri, degree + 180.0, degree)
+
+    degree = jnp.where(degree > 180.0, degree - 360.0, degree)
+    theta = degree * (math.pi / 180.0)
+    pose = jnp.stack([trans[..., 1], trans[..., 0], theta], axis=-1)
+    info = jnp.stack([info_trans, info_trans, info_rot], axis=-1)
+    return pose, info

@@ -1,0 +1,159 @@
+"""Gather-based image resampling: the TPU replacement for OpenCV warps.
+
+The reference relies on three OpenCV resampling calls:
+
+- ``cv::warpPolar`` for the log-free polar map of the power spectrum
+  (/root/reference/src/correlation_flow.cc:228-236),
+- ``cv::warpAffine`` with ``BORDER_WRAP`` for de-rotation
+  (/root/reference/src/utils.cc:154-161),
+- ``cv::remap`` for undistortion (/root/reference/src/camera.cc:92-103).
+
+All three are bilinear gathers with different sampling grids and border
+policies.  On TPU each becomes a vectorized gather over a precomputed (or
+cheaply computed in-jit) coordinate grid — fully fused by XLA with the
+surrounding spectral ops.  Everything here is batched over leading axes and
+``vmap``-safe.
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def bilinear_sample(
+    img: jnp.ndarray,
+    x: jnp.ndarray,
+    y: jnp.ndarray,
+    *,
+    wrap: bool = False,
+) -> jnp.ndarray:
+    """Bilinearly sample ``img[..., H, W]`` at float coords ``(x, y)``.
+
+    ``x`` indexes columns, ``y`` rows (OpenCV convention).  With
+    ``wrap=False`` out-of-range taps contribute zero, matching OpenCV
+    ``BORDER_CONSTANT(0)`` / ``WARP_FILL_OUTLIERS``.  With ``wrap=True``
+    coordinates wrap modulo the image size, matching ``BORDER_WRAP`` —
+    the periodic boundary consistent with circular correlation.
+    """
+    h, w = img.shape[-2], img.shape[-1]
+    out_hw = x.shape[-2:]
+    # Broadcast leading (batch) dims of the image and the coordinate grids so
+    # that a shared grid works on a batched image and vice versa, then gather
+    # through a flattened spatial index (take_along_axis handles per-batch
+    # indices, which plain advanced indexing does not).
+    lead = jnp.broadcast_shapes(img.shape[:-2], x.shape[:-2])
+    img_flat = jnp.broadcast_to(img, lead + (h, w)).reshape(lead + (h * w,))
+    x = jnp.broadcast_to(x, lead + out_hw)
+    y = jnp.broadcast_to(y, lead + out_hw)
+
+    x0f = jnp.floor(x)
+    y0f = jnp.floor(y)
+    wx = (x - x0f).astype(img.dtype)
+    wy = (y - y0f).astype(img.dtype)
+    x0 = x0f.astype(jnp.int32)
+    y0 = y0f.astype(jnp.int32)
+    x1 = x0 + 1
+    y1 = y0 + 1
+
+    def gather(yi, xi):
+        idx = (yi * w + xi).reshape(lead + (-1,))
+        return jnp.take_along_axis(img_flat, idx, axis=-1).reshape(lead + out_hw)
+
+    if wrap:
+        def tap(yi, xi):
+            return gather(jnp.mod(yi, h), jnp.mod(xi, w))
+    else:
+        def tap(yi, xi):
+            valid = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
+            v = gather(jnp.clip(yi, 0, h - 1), jnp.clip(xi, 0, w - 1))
+            return jnp.where(valid, v, jnp.zeros((), img.dtype))
+
+    v00 = tap(y0, x0)
+    v01 = tap(y0, x1)
+    v10 = tap(y1, x0)
+    v11 = tap(y1, x1)
+
+    top = v00 * (1.0 - wx) + v01 * wx
+    bot = v10 * (1.0 - wx) + v11 * wx
+    return top * (1.0 - wy) + bot * wy
+
+
+def polar_grid(
+    h: int, w: int, divisor: int, channel: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Sampling grid reproducing ``cv::warpPolar`` (linear, forward map).
+
+    Destination is ``(divisor, channel)`` = (angle rows, radius cols); for
+    dest pixel ``(phi, rho)``: ``angle = phi * 2π/divisor``,
+    ``mag = rho * maxRadius/channel`` with ``maxRadius = min(h//2, w//2)``
+    and center ``(w/2, h/2)`` — exactly the parameters of
+    /root/reference/src/correlation_flow.cc:230-234.  Returned as host
+    numpy arrays so callers can bake them in as compile-time constants.
+    """
+    cx, cy = w / 2.0, h / 2.0
+    max_radius = float(min(h // 2, w // 2))
+    phi = np.arange(divisor, dtype=np.float32)[:, None]  # (divisor, 1)
+    rho = np.arange(channel, dtype=np.float32)[None, :]  # (1, channel)
+    angle = phi * (2.0 * math.pi / divisor)
+    mag = rho * (max_radius / channel)
+    x = cx + mag * np.cos(angle)
+    y = cy + mag * np.sin(angle)
+    return x.astype(np.float32), y.astype(np.float32)
+
+
+def warp_polar(img: jnp.ndarray, grid_x: jnp.ndarray, grid_y: jnp.ndarray) -> jnp.ndarray:
+    """Apply a precomputed :func:`polar_grid` to ``img`` (zero-filled border)."""
+    return bilinear_sample(img, grid_x, grid_y, wrap=False)
+
+
+def rotate_wrap(img: jnp.ndarray, degree: jnp.ndarray) -> jnp.ndarray:
+    """Rotate ``img[..., H, W]`` by ``degree`` about the image center.
+
+    Reproduces ``RotateArray`` (/root/reference/src/utils.cc:154-161):
+    ``cv::warpAffine(getRotationMatrix2D(center, degree, 1), BORDER_WRAP)``.
+    For each destination pixel ``p`` the source coordinate is
+    ``R(-deg)·(p - c) + c`` with ``c = (W/2, H/2)`` (OpenCV inverts the
+    forward matrix internally), sampled bilinearly with periodic wrap.
+
+    ``degree`` may be a traced scalar or batched ``(...,)`` matching the
+    leading axes of ``img``; the grid is built in-jit (cos/sin + FMA — VPU
+    work that XLA fuses with the gather).
+    """
+    h, w = img.shape[-2], img.shape[-1]
+    cx, cy = w / 2.0, h / 2.0
+    deg = jnp.asarray(degree, jnp.float32)
+    rad = deg * (math.pi / 180.0)
+    a = jnp.cos(rad)
+    b = jnp.sin(rad)
+    # dst→src map: src = [[a, -b], [b, a]] @ (p - c) + c
+    xs = jnp.arange(w, dtype=jnp.float32)[None, :] - cx  # (1, W)
+    ys = jnp.arange(h, dtype=jnp.float32)[:, None] - cy  # (H, 1)
+    a_ = a[..., None, None]
+    b_ = b[..., None, None]
+    src_x = a_ * xs - b_ * ys + cx
+    src_y = b_ * xs + a_ * ys + cy
+    return bilinear_sample(img, src_x, src_y, wrap=True)
+
+
+def warp_translate_rotate(
+    img: jnp.ndarray, tx: jnp.ndarray, ty: jnp.ndarray, degree: jnp.ndarray
+) -> jnp.ndarray:
+    """Translate by ``(tx, ty)`` then rotate — ``WarpArray`` parity.
+
+    Mirrors /root/reference/src/utils.cc:163-171: an affine translate with
+    ``BORDER_WRAP`` followed by :func:`rotate_wrap`.  The translation's
+    dst→src map is ``src = p - t`` (warpAffine inverts the forward matrix).
+    Used by map rectification utilities; the reference's per-frame call at
+    correlation_flow.cc:141 is dead compute and not replicated in the hot
+    path.
+    """
+    h, w = img.shape[-2], img.shape[-1]
+    xs = jnp.arange(w, dtype=jnp.float32)[None, :]
+    ys = jnp.arange(h, dtype=jnp.float32)[:, None]
+    tx = jnp.asarray(tx, jnp.float32)[..., None, None]
+    ty = jnp.asarray(ty, jnp.float32)[..., None, None]
+    shifted = bilinear_sample(img, xs - tx, ys - ty, wrap=True)
+    return rotate_wrap(shifted, degree)

@@ -1,0 +1,259 @@
+"""Oracle tests for the spectral/warp/registration primitives (SURVEY §4a-b).
+
+Each op is checked against a NumPy or OpenCV oracle implementing the exact
+reference semantics; the registration stack is then validated end-to-end by
+recovering known synthetic transforms (build-plan gate #1).
+"""
+
+import math
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from nislam_tpu.core.config import CFConfig
+from nislam_tpu.ops import (
+    bilinear_sample,
+    compute_intermedium,
+    compute_pose,
+    estimate_trans,
+    fftshift2,
+    impulse_spectrum,
+    irfft2,
+    make_cf_ops,
+    polar_grid,
+    remove_zero_component,
+    rfft2,
+    rotate_wrap,
+    warp_polar,
+)
+from nislam_tpu.ops.registration import normalize_degree
+
+cv2 = pytest.importorskip("cv2")
+
+H, W = 96, 128
+CFG = CFConfig(width=W, height=H, rotation_divisor=180, rotation_channel=96)
+
+
+def _texture(rng, h=H, w=W):
+    """Smooth random texture (filtered noise) — correlates well like ground texture."""
+    big = rng.standard_normal((h, w)).astype(np.float32)
+    big = cv2.GaussianBlur(big, (0, 0), 2.5)
+    big -= big.min()
+    big /= big.max()
+    return big
+
+
+# ---------------------------------------------------------------------------
+# FFT conventions
+# ---------------------------------------------------------------------------
+
+
+def test_rfft2_roundtrip(rng):
+    x = rng.standard_normal((H, W)).astype(np.float32)
+    xf = rfft2(jnp.asarray(x))
+    assert xf.shape == (H, W // 2 + 1)
+    back = irfft2(xf, (H, W))
+    np.testing.assert_allclose(np.asarray(back), x, atol=1e-4)
+
+
+def test_ifft_of_magnitude_matches_full_spectrum_oracle(rng):
+    # IFFT(|half spectrum|) must equal ifft2(|full spectrum|) regardless of
+    # which axis is halved — the key invariance vs. the reference's layout.
+    x = rng.standard_normal((H, W)).astype(np.float32)
+    ours = np.asarray(irfft2(jnp.abs(rfft2(jnp.asarray(x))), (H, W)))
+    oracle = np.fft.ifft2(np.abs(np.fft.fft2(x))).real
+    np.testing.assert_allclose(ours, oracle, atol=1e-4)
+
+
+def test_impulse_spectrum():
+    got = np.asarray(impulse_spectrum(H, W))
+    oracle = np.fft.rfft2(np.eye(1, H * W, (H // 2) * W + W // 2).reshape(H, W))
+    np.testing.assert_allclose(got, oracle, atol=1e-5)
+
+
+def test_remove_zero_component(rng):
+    x = rng.standard_normal((H, W)).astype(np.float32)
+    y = np.asarray(remove_zero_component(jnp.asarray(x)))
+    oracle = x.copy()
+    oracle[0, :] = (x[1, :] + x[-1, :]) / 2  # row rule from original x
+    oracle[:, 0] = (x[:, 1] + x[:, -1]) / 2  # col rule wins at the corner
+    np.testing.assert_allclose(y, oracle, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Warps vs OpenCV
+# ---------------------------------------------------------------------------
+
+
+def test_warp_polar_matches_opencv(rng):
+    img = _texture(rng)
+    div, ch = CFG.rotation_divisor, CFG.rotation_channel
+    gx, gy = polar_grid(H, W, div, ch)
+    ours = np.asarray(warp_polar(jnp.asarray(img), jnp.asarray(gx), jnp.asarray(gy)))
+
+    center = (W / 2.0, H / 2.0)
+    radius = float(min(H // 2, W // 2))
+    oracle = cv2.warpPolar(
+        img, (ch, div), center, radius, cv2.INTER_LINEAR + cv2.WARP_FILL_OUTLIERS
+    )
+    # OpenCV uses 5-bit fixed-point bilinear weights; tolerate that.
+    assert np.abs(ours - oracle).mean() < 2e-3
+    assert np.abs(ours - oracle).max() < 0.1
+
+
+def test_rotate_wrap_matches_opencv(rng):
+    img = _texture(rng)
+    for deg in [0.0, 10.0, -37.5, 90.0, 181.0]:
+        ours = np.asarray(rotate_wrap(jnp.asarray(img), deg))
+        m = cv2.getRotationMatrix2D((W / 2.0, H / 2.0), deg, 1.0)
+        oracle = cv2.warpAffine(img, m, (W, H), flags=cv2.INTER_LINEAR, borderMode=cv2.BORDER_WRAP)
+        assert np.abs(ours - oracle).mean() < 2e-3, deg
+
+
+def test_bilinear_sample_batched_grids(rng):
+    imgs = np.stack([_texture(rng), _texture(rng)])
+    degs = jnp.asarray([15.0, -30.0])
+    batched = np.asarray(rotate_wrap(jnp.asarray(imgs), degs))
+    for i, d in enumerate([15.0, -30.0]):
+        single = np.asarray(rotate_wrap(jnp.asarray(imgs[i]), d))
+        np.testing.assert_allclose(batched[i], single, atol=1e-5)
+
+
+def test_bilinear_sample_zero_border():
+    img = jnp.ones((4, 4))
+    x = jnp.array([[-1.0, 0.0], [3.5, 4.0]])
+    y = jnp.array([[0.0, 0.0], [0.0, 0.0]])
+    out = np.asarray(bilinear_sample(img, x, y))
+    assert out[0, 0] == 0.0  # fully outside
+    assert out[0, 1] == 1.0  # inside
+    assert out[1, 0] == 0.5  # straddles the right edge: half weight in range
+    assert out[1, 1] == 0.0  # fully outside
+
+
+# ---------------------------------------------------------------------------
+# Registration: synthetic-transform recovery (gate #1)
+# ---------------------------------------------------------------------------
+
+
+def _roll(img, dy, dx):
+    return np.roll(np.roll(img, dy, axis=0), dx, axis=1)
+
+
+@pytest.mark.parametrize("kernel", [0, 1])
+def test_estimate_trans_recovers_circular_shift(rng, kernel):
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, kernel=kernel)
+    img = _texture(rng)
+    zf = rfft2(jnp.asarray(img))
+    target = impulse_spectrum(H, W)
+    for dy, dx in [(0, 0), (5, -9), (-17, 3), (40, 60)]:
+        xf = rfft2(jnp.asarray(_roll(img, dy, dx)))
+        trans, conf = estimate_trans(zf, xf, target, (H, W), cfg)
+        trans = np.asarray(trans)
+        # A +dy/+dx roll moves content down/right; the estimator reports the
+        # shift with the reference's sign convention trans = -(peak - center).
+        got_dy, got_dx = -trans[0], -trans[1]
+        got_dy = (got_dy + H / 2) % H - H / 2
+        got_dx = (got_dx + W / 2) % W - W / 2
+        assert (got_dy, got_dx) == (pytest.approx(dy), pytest.approx(dx)), (dy, dx)
+        assert float(conf) > 10.0
+
+
+def test_estimate_trans_batched_matches_single(rng):
+    img = _texture(rng)
+    zf = rfft2(jnp.asarray(img))
+    xfs = rfft2(jnp.asarray(np.stack([_roll(img, 3, 4), _roll(img, -7, 1)])))
+    target = impulse_spectrum(H, W)
+    tb, cb = estimate_trans(jnp.stack([zf, zf]), xfs, target, (H, W), CFG)
+    for i in range(2):
+        ts, cs = estimate_trans(zf, xfs[i], target, (H, W), CFG)
+        np.testing.assert_allclose(np.asarray(tb[i]), np.asarray(ts), atol=1e-5)
+        np.testing.assert_allclose(float(cb[i]), float(cs), rtol=1e-4)
+
+
+def test_normalize_degree():
+    d = jnp.array([0.0, 179.0, 180.0, 181.0, 360.0, -180.0, -541.0])
+    np.testing.assert_allclose(
+        np.asarray(normalize_degree(d)), [0.0, 179.0, -180.0, -179.0, 0.0, -180.0, 179.0]
+    )
+
+
+@pytest.mark.parametrize("angle_deg", [0.0, 8.0, -15.0, 30.0])
+def test_compute_pose_recovers_rotation_and_shift(rng, angle_deg):
+    """Gate #1: recover a known synthetic (tx, ty, θ) in tracking mode."""
+    ops = make_cf_ops(CFG)
+    base = _texture(rng)
+    # Current frame: base rotated by angle and shifted: registration should
+    # report the rotation and the translation of the *de-rotated* image.
+    dy, dx = 6, -11
+    rot = cv2.warpAffine(
+        base,
+        cv2.getRotationMatrix2D((W / 2.0, H / 2.0), angle_deg, 1.0),
+        (W, H),
+        flags=cv2.INTER_LINEAR,
+        borderMode=cv2.BORDER_WRAP,
+    )
+    cur = _roll(rot, dy, dx)
+
+    kf_fft, kf_polar = compute_intermedium(jnp.asarray(base), ops)
+    cur_fft, cur_polar = compute_intermedium(jnp.asarray(cur), ops)
+    pose, info = compute_pose(
+        kf_fft, jnp.asarray(cur), kf_polar, cur_polar, ops, large_rotation=False
+    )
+    pose = np.asarray(pose)
+    got_deg = math.degrees(pose[2])
+    # Rotation resolution is one polar row (360/divisor); off-grid angles can
+    # land up to ~2 bins away on this small synthetic texture.
+    rot_res = 360.0 / CFG.rotation_divisor
+    assert abs(got_deg - angle_deg) <= 2 * rot_res + 1e-3, (got_deg, angle_deg)
+    # De-rotating the shifted image rotates the shift vector: the estimator
+    # sees shift R(θ)·(dx, dy) (exactly what the reference observes too).
+    a = math.radians(angle_deg)
+    exp_dx = math.cos(a) * dx - math.sin(a) * dy
+    exp_dy = math.sin(a) * dx + math.cos(a) * dy
+    # x = column shift, y = row shift; sign convention: pose = -(peak-center).
+    assert abs(-pose[0] - exp_dx) <= 1.5
+    assert abs(-pose[1] - exp_dy) <= 1.5
+    assert float(info[0]) > 10.0 and float(info[2]) > 5.0
+
+
+def test_compute_pose_large_rotation_resolves_ambiguity(rng):
+    """Loop mode must disambiguate rotations beyond ±90° (π-periodic polar)."""
+    ops = make_cf_ops(CFG)
+    base = _texture(rng)
+    for angle in [150.0, -120.0]:
+        cur = cv2.warpAffine(
+            base,
+            cv2.getRotationMatrix2D((W / 2.0, H / 2.0), angle, 1.0),
+            (W, H),
+            flags=cv2.INTER_LINEAR,
+            borderMode=cv2.BORDER_WRAP,
+        )
+        kf_fft, kf_polar = compute_intermedium(jnp.asarray(base), ops)
+        _, cur_polar = compute_intermedium(jnp.asarray(cur), ops)
+        pose, info = compute_pose(
+            kf_fft, jnp.asarray(cur), kf_polar, cur_polar, ops, large_rotation=True
+        )
+        got = math.degrees(float(pose[2]))
+        err = abs((got - angle + 180) % 360 - 180)
+        assert err <= 360.0 / CFG.rotation_divisor + 1e-3, (got, angle)
+
+
+def test_compute_pose_jit_and_vmap(rng):
+    ops = make_cf_ops(CFG)
+    base = _texture(rng)
+    cur = np.stack([_roll(base, 2, 3), _roll(base, -4, 5)])
+    kf_fft, kf_polar = compute_intermedium(jnp.asarray(base), ops)
+    cur_fft, cur_polar = compute_intermedium(jnp.asarray(cur), ops)
+
+    f = jax.jit(
+        lambda img, cp: compute_pose(kf_fft, img, kf_polar, cp, ops, large_rotation=True)
+    )
+    vpose, vinfo = jax.vmap(lambda img, cp: f(img, cp))(jnp.asarray(cur), cur_polar)
+    assert vpose.shape == (2, 3)
+    np.testing.assert_allclose(np.asarray(-vpose[0, :2]), [3, 2], atol=1.5)
+    np.testing.assert_allclose(np.asarray(-vpose[1, :2]), [5, -4], atol=1.5)
