@@ -1,0 +1,232 @@
+"""Fixed-capacity keyframe + edge stores in HBM.
+
+TPU-native re-design of the reference ``Map`` (/root/reference/include/map.h,
+/root/reference/src/map.cc): the ``std::map<int, FramePtr>`` keyframe store,
+``std::map<int, EdgePtr>`` edge store, per-frame travel distance, and the
+spatial hash ``GridMap`` all become preallocated dense arrays with an integer
+cursor, so every operation is a static-shape masked update or gather that
+lives inside one jitted program.
+
+Key semantic choices carried over from the reference:
+
+- the **grid location is captured at insertion time** and never rehashed when
+  poses are optimized (``Map::AddFrame`` inserts into ``_grid_map`` using the
+  pose at insert, ``Map::UpdatePoses`` does not touch the grid —
+  /root/reference/src/map.cc:17-30,73-79),
+- grid coordinates use C truncation-toward-zero (``static_cast<int>(x /
+  _grid_scale)``, /root/reference/src/map.cc:81-85),
+- the base frame is slot 0 and is pinned by the optimizer
+  (/root/reference/src/map.cc:18-21).
+
+Unlike the reference's unbounded RAM growth (SURVEY §5), capacities are
+explicit; overflow is counted and new keyframes are dropped (tracking
+continues — the dropped frame still becomes the registration target).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from nislam_tpu.core.config import CFConfig, MapConfig
+
+# Edge types — /root/reference/include/edge.h:12 (Odom is never produced).
+EDGE_NONE = 0
+EDGE_KCC = 1
+EDGE_LOOP = 2
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class KeyframeBank:
+    """Ring of keyframe records: spectra + pose + bookkeeping.
+
+    Replaces ``Frame`` (/root/reference/include/frame.h:32-39) fields
+    {id, timestamp, image, fft, polar fft, pose} and the per-frame distance
+    map (/root/reference/include/map.h:71).  The never-used
+    ``_depth_fft_result`` is intentionally absent (SURVEY §2 #3).
+    """
+
+    fft: jnp.ndarray  # (K, H, W//2+1) c64 — image spectra
+    polar_fft: jnp.ndarray  # (K, D, C//2+1) c64 — polar spectra
+    images: jnp.ndarray  # (K, H, W) f32 — raw frames (for the stitcher), or (K,0,0)
+    poses: jnp.ndarray  # (K, 3) f32 — robot-frame (x, y, θ), optimized in place
+    grid_xy: jnp.ndarray  # (K, 2) i32 — spatial-hash cell captured at insertion
+    frame_ids: jnp.ndarray  # (K,) i32 — global input-frame id
+    distances: jnp.ndarray  # (K,) f32 — accumulated travel distance
+    count: jnp.ndarray  # () i32 — number of live slots
+    overflow: jnp.ndarray  # () i32 — keyframes dropped because the bank was full
+
+    @property
+    def capacity(self) -> int:
+        return self.fft.shape[0]
+
+    def valid_mask(self) -> jnp.ndarray:
+        return jnp.arange(self.capacity) < self.count
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class EdgeStore:
+    """Pose-graph constraints — ``Edge`` (/root/reference/include/edge.h:10-24).
+
+    ``from_slot``/``to_slot`` index bank slots (not frame ids — slots are
+    contiguous, which keeps the optimizer assembly gather-friendly).  ``T`` is
+    the relative pose in the **camera frame**, exactly as the reference stores
+    edge ``_T`` (/root/reference/src/map_builder.cc:140-156,184-194); the
+    optimizer converts camera→robot at assembly time
+    (/root/reference/src/map_builder.cc:240).
+    """
+
+    from_slot: jnp.ndarray  # (E,) i32
+    to_slot: jnp.ndarray  # (E,) i32
+    T: jnp.ndarray  # (E, 3) f32 — camera-frame (x, y, θ)
+    info: jnp.ndarray  # (E, 3, 3) f32 — information matrix (identity in practice)
+    types: jnp.ndarray  # (E,) i32 — EDGE_KCC / EDGE_LOOP
+    count: jnp.ndarray  # () i32
+    overflow: jnp.ndarray  # () i32
+
+    @property
+    def capacity(self) -> int:
+        return self.from_slot.shape[0]
+
+    def valid_mask(self) -> jnp.ndarray:
+        return jnp.arange(self.capacity) < self.count
+
+
+def make_keyframe_bank(cf: CFConfig, map_cfg: MapConfig) -> KeyframeBank:
+    k = map_cfg.keyframe_capacity
+    h, w = cf.height, cf.width
+    d, c = cf.rotation_divisor, cf.rotation_channel
+    img_shape = (k, h, w) if map_cfg.store_images else (k, 0, 0)
+    return KeyframeBank(
+        fft=jnp.zeros((k, h, w // 2 + 1), jnp.complex64),
+        polar_fft=jnp.zeros((k, d, c // 2 + 1), jnp.complex64),
+        images=jnp.zeros(img_shape, jnp.float32),
+        poses=jnp.zeros((k, 3), jnp.float32),
+        grid_xy=jnp.zeros((k, 2), jnp.int32),
+        frame_ids=jnp.full((k,), -1, jnp.int32),
+        distances=jnp.zeros((k,), jnp.float32),
+        count=jnp.zeros((), jnp.int32),
+        overflow=jnp.zeros((), jnp.int32),
+    )
+
+
+def make_edge_store(map_cfg: MapConfig) -> EdgeStore:
+    e = map_cfg.edge_capacity
+    return EdgeStore(
+        from_slot=jnp.zeros((e,), jnp.int32),
+        to_slot=jnp.zeros((e,), jnp.int32),
+        T=jnp.zeros((e, 3), jnp.float32),
+        info=jnp.zeros((e, 3, 3), jnp.float32),
+        types=jnp.zeros((e,), jnp.int32),
+        count=jnp.zeros((), jnp.int32),
+        overflow=jnp.zeros((), jnp.int32),
+    )
+
+
+def grid_location(xy: jnp.ndarray, grid_scale: float) -> jnp.ndarray:
+    """Spatial-hash cell of a robot-frame position.
+
+    C-cast semantics of ``Map::ComputeGridLocation``
+    (/root/reference/src/map.cc:81-85): truncation toward zero.
+    """
+    return jnp.trunc(xy / grid_scale).astype(jnp.int32)
+
+
+def add_keyframe(
+    bank: KeyframeBank,
+    *,
+    fft: jnp.ndarray,
+    polar_fft: jnp.ndarray,
+    image: jnp.ndarray,
+    pose: jnp.ndarray,
+    frame_id: jnp.ndarray,
+    distance: jnp.ndarray,
+    grid_scale: float,
+    enabled: jnp.ndarray,
+) -> Tuple[KeyframeBank, jnp.ndarray]:
+    """Masked insert of one keyframe; returns ``(bank, slot)``.
+
+    ``enabled`` gates the whole write (the jit-friendly replacement for the
+    reference's Python-level branch).  When the bank is full the record is
+    dropped and ``overflow`` incremented; the returned slot is then the
+    would-be slot (clamped), which callers must not treat as stored.
+    """
+    slot = jnp.minimum(bank.count, bank.capacity - 1)
+    fits = bank.count < bank.capacity
+    do = jnp.logical_and(enabled, fits)
+
+    def wr(buf, val):
+        return jnp.where(do, buf.at[slot].set(val.astype(buf.dtype)), buf)
+
+    images = bank.images
+    if images.shape[1]:
+        images = wr(images, image)
+    return (
+        KeyframeBank(
+            fft=wr(bank.fft, fft),
+            polar_fft=wr(bank.polar_fft, polar_fft),
+            images=images,
+            poses=wr(bank.poses, pose),
+            grid_xy=wr(bank.grid_xy, grid_location(pose[:2], grid_scale)),
+            frame_ids=wr(bank.frame_ids, frame_id),
+            distances=wr(bank.distances, distance),
+            count=bank.count + do.astype(jnp.int32),
+            overflow=bank.overflow
+            + jnp.logical_and(enabled, ~fits).astype(jnp.int32),
+        ),
+        slot,
+    )
+
+
+def add_edge(
+    edges: EdgeStore,
+    *,
+    from_slot: jnp.ndarray,
+    to_slot: jnp.ndarray,
+    T: jnp.ndarray,
+    edge_type: int | jnp.ndarray,
+    enabled: jnp.ndarray,
+    info: jnp.ndarray | None = None,
+) -> EdgeStore:
+    """Masked append of one constraint (identity information by default,
+    matching /root/reference/src/map_builder.cc:142,191)."""
+    if info is None:
+        info = jnp.eye(3, dtype=jnp.float32)
+    slot = jnp.minimum(edges.count, edges.capacity - 1)
+    fits = edges.count < edges.capacity
+    do = jnp.logical_and(enabled, fits)
+
+    def wr(buf, val):
+        return jnp.where(do, buf.at[slot].set(jnp.asarray(val, buf.dtype)), buf)
+
+    return EdgeStore(
+        from_slot=wr(edges.from_slot, from_slot),
+        to_slot=wr(edges.to_slot, to_slot),
+        T=wr(edges.T, T),
+        info=wr(edges.info, info),
+        types=wr(edges.types, edge_type),
+        count=edges.count + do.astype(jnp.int32),
+        overflow=edges.overflow + jnp.logical_and(enabled, ~fits).astype(jnp.int32),
+    )
+
+
+def frames_in_neighborhood(
+    bank: KeyframeBank, prior_pose: jnp.ndarray, grid_scale: float
+) -> jnp.ndarray:
+    """Mask of keyframes whose insertion-time grid cell is in the 3×3
+    neighborhood of ``prior_pose``'s cell.
+
+    Vectorized equivalent of ``Map::GetFramesInGrids`` over the 3×3 offsets
+    of ``LoopClosure::FindLoopClosure`` (/root/reference/src/map.cc:93-101,
+    /root/reference/src/loop_closure.cc:19-31): the hash lookup becomes a
+    masked compare over the whole bank — O(K) vector work instead of O(1)
+    pointer chasing, which is the right trade on a 8×128-lane VPU.
+    """
+    cur = grid_location(prior_pose[:2], grid_scale)
+    near = jnp.all(jnp.abs(bank.grid_xy - cur[None, :]) <= 1, axis=-1)
+    return jnp.logical_and(near, bank.valid_mask())

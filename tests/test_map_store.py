@@ -1,0 +1,91 @@
+"""Keyframe bank / edge store tests (masked ring-buffer semantics)."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from nislam_tpu.core.config import CFConfig, MapConfig
+from nislam_tpu.core.map_store import (
+    add_edge,
+    add_keyframe,
+    frames_in_neighborhood,
+    grid_location,
+    make_edge_store,
+    make_keyframe_bank,
+)
+
+CF = CFConfig(width=32, height=24, rotation_divisor=36, rotation_channel=16)
+MAP = MapConfig(grid_scale=0.1, keyframe_capacity=4, edge_capacity=3)
+
+
+def _insert(bank, pose, fid, enabled=True):
+    return add_keyframe(
+        bank,
+        fft=jnp.ones((24, 17), jnp.complex64) * fid,
+        polar_fft=jnp.ones((36, 9), jnp.complex64),
+        image=jnp.ones((24, 32), jnp.float32),
+        pose=jnp.asarray(pose, jnp.float32),
+        frame_id=jnp.asarray(fid, jnp.int32),
+        distance=jnp.asarray(0.5 * fid, jnp.float32),
+        grid_scale=MAP.grid_scale,
+        enabled=jnp.asarray(enabled),
+    )
+
+
+def test_grid_location_truncates_toward_zero():
+    # static_cast<int> semantics (/root/reference/src/map.cc:81-85).
+    xy = jnp.asarray([[0.19, -0.19], [1.0, -1.0], [-0.01, 0.01]])
+    got = np.asarray(grid_location(xy, 0.1))
+    np.testing.assert_array_equal(got, [[1, -1], [10, -10], [0, 0]])
+
+
+def test_insert_and_masks():
+    bank = make_keyframe_bank(CF, MAP)
+    bank, s0 = _insert(bank, [0, 0, 0], 0)
+    bank, s1 = _insert(bank, [0.15, 0, 0], 1)
+    bank, _ = _insert(bank, [9, 9, 0], 2, enabled=False)  # masked off
+    assert int(bank.count) == 2 and (int(s0), int(s1)) == (0, 1)
+    np.testing.assert_array_equal(np.asarray(bank.valid_mask()), [1, 1, 0, 0])
+    np.testing.assert_array_equal(np.asarray(bank.frame_ids[:2]), [0, 1])
+    np.testing.assert_array_equal(np.asarray(bank.grid_xy[1]), [1, 0])
+
+
+def test_overflow_drops_and_counts():
+    bank = make_keyframe_bank(CF, MAP)
+    for i in range(6):
+        bank, _ = _insert(bank, [0.1 * i, 0, 0], i)
+    assert int(bank.count) == 4
+    assert int(bank.overflow) == 2
+    np.testing.assert_array_equal(np.asarray(bank.frame_ids), [0, 1, 2, 3])
+
+
+def test_neighborhood_query():
+    bank = make_keyframe_bank(CF, MAP)
+    bank, _ = _insert(bank, [0.0, 0.0, 0], 0)  # cell (0, 0)
+    bank, _ = _insert(bank, [0.15, -0.05, 0], 1)  # cell (1, 0)
+    bank, _ = _insert(bank, [0.55, 0.0, 0], 2)  # cell (5, 0) — far
+    mask = frames_in_neighborhood(bank, jnp.asarray([0.05, 0.0, 0.0]), MAP.grid_scale)
+    np.testing.assert_array_equal(np.asarray(mask), [1, 1, 0, 0])
+    # Grid cells are those captured at insertion: moving the stored pose
+    # without re-inserting must not change the query (reference parity —
+    # UpdatePoses never rehashes, /root/reference/src/map.cc:73-79).
+    bank2 = bank.__class__(**{**bank.__dict__, "poses": bank.poses.at[1].set(jnp.asarray([9.0, 9.0, 0.0]))})
+    mask2 = frames_in_neighborhood(bank2, jnp.asarray([0.05, 0.0, 0.0]), MAP.grid_scale)
+    np.testing.assert_array_equal(np.asarray(mask2), [1, 1, 0, 0])
+
+
+def test_edge_store():
+    edges = make_edge_store(MAP)
+    for i in range(5):
+        edges = add_edge(
+            edges,
+            from_slot=jnp.asarray(i),
+            to_slot=jnp.asarray(i + 1),
+            T=jnp.asarray([1.0, 0.0, 0.1 * i]),
+            edge_type=1,
+            enabled=jnp.asarray(i != 1),  # skip one
+        )
+    assert int(edges.count) == 3
+    assert int(edges.overflow) == 1  # 4th enabled insert hits capacity 3
+    np.testing.assert_array_equal(np.asarray(edges.from_slot), [0, 2, 3])
+    np.testing.assert_allclose(np.asarray(edges.info[0]), np.eye(3))
