@@ -99,6 +99,22 @@ class MapStitcherConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class OptimizerConfig:
+    """Pose-graph solver knobs — the TPU analogue of the Ceres options at
+    /root/reference/src/optimization_2d/pose_graph_2d.cc:186-200 (LM over
+    sparse Cholesky, ≤300 iterations).
+
+    ``with_scale`` enables the joint metric-scale estimation variant
+    (``PoseGraph2dErrorTermWithScale``) that the reference wires up but
+    leaves disabled (/root/reference/src/map_builder.cc:256-257); the scale
+    is free iff the camera height is flagged inaccurate.
+    """
+
+    max_iterations: int = 100
+    with_scale: bool = False
+
+
+@dataclasses.dataclass(frozen=True)
 class SavingConfig:
     """/root/reference/include/read_configs.h:59-62."""
 
@@ -135,6 +151,7 @@ class SlamConfig:
     map: MapConfig = MapConfig()
     loop_closure: LoopClosureConfig = LoopClosureConfig()
     map_stitcher: MapStitcherConfig = MapStitcherConfig()
+    optimizer: OptimizerConfig = OptimizerConfig()
     saving: SavingConfig = SavingConfig()
     camera: CameraConfig = CameraConfig()
 
@@ -222,6 +239,12 @@ def load_config(path: str, *, load_camera: bool = True) -> SlamConfig:
         canvas_cells=int(msn.get("canvas_cells", 3)),
     )
 
+    opn = node.get("optimizer", {})
+    opt = OptimizerConfig(
+        max_iterations=int(opn.get("max_iterations", 100)),
+        with_scale=bool(opn.get("with_scale", False)),
+    )
+
     svn = node.get("saving", {})
     sv = SavingConfig(
         saving_root=svn.get("saving_root", "./saving"),
@@ -239,6 +262,7 @@ def load_config(path: str, *, load_camera: bool = True) -> SlamConfig:
         map=mp,
         loop_closure=lc,
         map_stitcher=ms,
+        optimizer=opt,
         saving=sv,
         camera=camera,
     )

@@ -1,0 +1,151 @@
+"""Correlation-based loop closure: batched candidate re-registration.
+
+TPU-native re-design of ``LoopClosure`` (/root/reference/src/loop_closure.cc).
+The reference walks the 3×3 spatial-hash neighborhood and runs one full KCC
+``ComputePose`` per surviving candidate in a serial loop (loop_closure.cc:
+42-66).  Here the whole search is one batched program:
+
+1. gating — a vectorized mask over the entire keyframe bank
+   (neighborhood ∧ frame-gap ∧ travel-distance, loop_closure.cc:44-54),
+2. candidate selection — ``top_k`` picks up to ``max_candidates`` eligible
+   slots (slot order, deterministic); the reference evaluates *every*
+   eligible frame, so the cap is a bounded-shape superset knob, not a
+   semantic change when sized ≥ the neighborhood occupancy,
+3. one **batched** ``compute_pose`` in large-rotation mode over the gathered
+   spectra (a single rFFT2 batch instead of k serial FFT pipelines),
+4. winner = argmax of ``response.sum()`` over eligible candidates; accepted
+   iff ``response[0] > position_response_thr ∧ response[2] >
+   angle_response_thr`` (loop_closure.cc:60-71).
+
+Also provides :func:`find_loop_closure_all` — the reference's unused
+scan-all-frames overload (loop_closure.cc:10-15) — as the building block the
+distributed (sharded-bank) loop search in ``nislam_tpu.parallel`` extends.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from nislam_tpu.core.config import LoopClosureConfig
+from nislam_tpu.core.map_store import KeyframeBank, frames_in_neighborhood
+from nislam_tpu.ops.registration import CFOps, compute_pose
+
+
+class LoopResult(NamedTuple):
+    found: jnp.ndarray  # () bool
+    loop_slot: jnp.ndarray  # () i32 — winning bank slot
+    relative_pose: jnp.ndarray  # (3,) image-plane, center-based (pre-principal)
+    response: jnp.ndarray  # (3,) winner's (psr_t, psr_t, psr_r)
+
+
+def _gating_mask(
+    bank: KeyframeBank,
+    cur_frame_id: jnp.ndarray,
+    cur_distance: jnp.ndarray,
+    candidate_mask: jnp.ndarray,
+    cfg: LoopClosureConfig,
+) -> jnp.ndarray:
+    """Frame-gap + travel-distance gates (loop_closure.cc:44-54).
+
+    Thresholds ≤ 0 disable their gate, like the reference's ``> 0`` checks.
+    """
+    m = candidate_mask
+    if cfg.frame_gap_thr > 0:
+        m = jnp.logical_and(
+            m, jnp.abs(cur_frame_id - bank.frame_ids) >= cfg.frame_gap_thr
+        )
+    if cfg.distance_thr > 0:
+        m = jnp.logical_and(
+            m, jnp.abs(cur_distance - bank.distances) >= cfg.distance_thr
+        )
+    return m
+
+
+def _batched_search(
+    bank: KeyframeBank,
+    image: jnp.ndarray,
+    cur_polar_fft: jnp.ndarray,
+    eligible: jnp.ndarray,
+    cf_ops: CFOps,
+    max_candidates: int,
+    cfg: LoopClosureConfig,
+) -> LoopResult:
+    # Deterministic pick of up to C eligible slots (ties → lowest slot).
+    k = bank.capacity
+    c = min(max_candidates, k)
+    score = eligible.astype(jnp.float32)
+    _, slots = jax.lax.top_k(score, c)
+    picked = eligible[slots]  # (C,) — False where top_k padded with ineligible
+
+    zf = bank.fft[slots]  # (C, H, W2)
+    zp = bank.polar_fft[slots]  # (C, D, C2)
+    pose, info = compute_pose(
+        zf,
+        image[None, :, :],
+        zp,
+        cur_polar_fft[None, :, :],
+        cf_ops,
+        large_rotation=True,
+    )  # (C, 3), (C, 3)
+
+    total = jnp.where(picked, info.sum(axis=-1), -jnp.inf)
+    best = jnp.argmax(total)
+    best_info = info[best]
+    best_pose = pose[best]
+    any_eligible = jnp.any(picked)
+    found = jnp.logical_and(
+        any_eligible,
+        jnp.logical_and(
+            best_info[0] > cfg.position_response_thr,
+            best_info[2] > cfg.angle_response_thr,
+        ),
+    )
+    return LoopResult(
+        found=found,
+        loop_slot=slots[best],
+        relative_pose=best_pose,
+        response=jnp.where(any_eligible, best_info, -jnp.inf),
+    )
+
+
+def find_loop_closure(
+    bank: KeyframeBank,
+    image: jnp.ndarray,
+    cur_polar_fft: jnp.ndarray,
+    cur_frame_id: jnp.ndarray,
+    cur_distance: jnp.ndarray,
+    prior_pose: jnp.ndarray,
+    cf_ops: CFOps,
+    cfg: LoopClosureConfig,
+    grid_scale: float,
+) -> LoopResult:
+    """Spatially-gated search — parity with the prior-pose overload
+    (/root/reference/src/loop_closure.cc:17-34)."""
+    near = frames_in_neighborhood(bank, prior_pose, grid_scale)
+    eligible = _gating_mask(bank, cur_frame_id, cur_distance, near, cfg)
+    return _batched_search(
+        bank, image, cur_polar_fft, eligible, cf_ops, cfg.max_candidates, cfg
+    )
+
+
+def find_loop_closure_all(
+    bank: KeyframeBank,
+    image: jnp.ndarray,
+    cur_polar_fft: jnp.ndarray,
+    cur_frame_id: jnp.ndarray,
+    cur_distance: jnp.ndarray,
+    cf_ops: CFOps,
+    cfg: LoopClosureConfig,
+) -> LoopResult:
+    """Exhaustive search over the whole bank — parity with the no-prior
+    overload (/root/reference/src/loop_closure.cc:10-15); candidate cap is
+    the full bank capacity."""
+    eligible = _gating_mask(
+        bank, cur_frame_id, cur_distance, bank.valid_mask(), cfg
+    )
+    return _batched_search(
+        bank, image, cur_polar_fft, eligible, cf_ops, bank.capacity, cfg
+    )

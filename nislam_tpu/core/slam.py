@@ -1,0 +1,518 @@
+"""The SLAM engine: one jitted per-frame step + a ``lax.scan`` sequence driver.
+
+TPU-native re-design of ``MapBuilder`` (/root/reference/src/map_builder.cc).
+The reference's per-frame pipeline (``AddNewInput``, map_builder.cc:30-70) is
+Python-free here: undistort → KCC features → track → keyframe decision →
+edge/bank insert → loop search → optimize trigger all compile into ONE XLA
+program with static shapes; every data-dependent branch of the reference
+becomes a masked update or a ``lax.cond`` (SURVEY §7 hard part 3).
+
+The only sequential dependency is the keyframe chain (frame *i* registers
+against the last *inserted* keyframe, map_builder.cc:53,68,99-106), which is
+exactly the scan carry; consequently whole sequences run on device via
+``lax.scan`` with zero host round-trips (:func:`make_sequence_fn`).
+
+Coordinate-frame bookkeeping mirrors map_builder.h:52-62: the engine carries
+the pose chain in three frames — image-plane/'cf' (pixels, principal-point
+based), camera (normalized), robot (metric) — because keyframe decisions use
+camera-frame deltas, edges store camera-frame relatives, and the bank stores
+robot-frame poses.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from nislam_tpu.core.camera import CameraOps, make_camera_ops
+from nislam_tpu.core.config import SlamConfig
+from nislam_tpu.core.loop_closure import LoopResult, find_loop_closure
+from nislam_tpu.core.map_store import (
+    EDGE_KCC,
+    EDGE_LOOP,
+    EdgeStore,
+    KeyframeBank,
+    add_edge,
+    add_keyframe,
+    make_edge_store,
+    make_keyframe_bank,
+)
+from nislam_tpu.core.pose_graph import (
+    PoseGraphProblem,
+    SolverConfig,
+    solve_pose_graph,
+)
+from nislam_tpu.core.se2 import absolute_pose, relative_pose
+from nislam_tpu.ops.registration import CFOps, compute_intermedium, compute_pose, make_cf_ops
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class TrackState:
+    """Carry of the keyframe-relative tracking chain.
+
+    The ``last_*`` fields advance only on keyframe insertion
+    (``UpdateIntermedium``, map_builder.cc:99-106) — dropped frames keep
+    registering against the same keyframe.
+    """
+
+    last_fft: jnp.ndarray  # (H, W//2+1) c64 — keyframe image spectrum
+    last_polar: jnp.ndarray  # (D, C//2+1) c64 — keyframe polar spectrum
+    last_cf_pose: jnp.ndarray  # (3,) image-plane (principal) chain
+    last_cf_real_pose: jnp.ndarray  # (3,) camera frame
+    last_pose: jnp.ndarray  # (3,) robot frame
+    last_slot: jnp.ndarray  # () i32 — bank slot of the keyframe
+    distance: jnp.ndarray  # () f32 — accumulated travel distance
+    next_frame_id: jnp.ndarray  # () i32
+    initialized: jnp.ndarray  # () bool
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class PendingLoops:
+    """Accumulated loop matches awaiting the ≥2-matches optimize trigger
+    (``_loop_matches`` + ``CheckAndOptimize``, map_builder.cc:108-116)."""
+
+    loop_slot: jnp.ndarray  # (P,) i32
+    cur_slot: jnp.ndarray  # (P,) i32
+    rel_pose: jnp.ndarray  # (P, 3) image-plane, principal-based
+    count: jnp.ndarray  # () i32
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SlamState:
+    bank: KeyframeBank
+    edges: EdgeStore
+    track: TrackState
+    pending: PendingLoops
+
+
+class StepOutput(NamedTuple):
+    """Per-frame observables (the reference's getters + stdout, SURVEY §3.4)."""
+
+    tracked: jnp.ndarray  # bool — good tracking (or init frame)
+    inserted: jnp.ndarray  # bool — became a keyframe
+    loop_found: jnp.ndarray  # bool
+    optimized: jnp.ndarray  # bool — pose graph ran this frame
+    response: jnp.ndarray  # (3,) PSR confidences
+    cf_pose: jnp.ndarray  # (3,) raw KCC odometry, robot frame (GetCFPose)
+    pose: jnp.ndarray  # (3,) current robot pose
+    frame_id: jnp.ndarray  # () i32
+    keyframe_slot: jnp.ndarray  # () i32 — slot if inserted else -1
+    loop_slot: jnp.ndarray  # () i32 — matched slot if loop_found else -1
+
+
+@dataclasses.dataclass(frozen=True)
+class SlamEngine:
+    """Static bundle: config + precomputed device constants + jitted fns."""
+
+    config: SlamConfig
+    cf_ops: CFOps
+    camera: CameraOps
+
+    def init_state(self) -> SlamState:
+        return init_state(self.config, self.cf_ops)
+
+    @functools.cached_property
+    def step(self):
+        """``(SlamState, image_f32[H,W]) -> (SlamState, StepOutput)`` jitted
+        with the state donated (in-place HBM update)."""
+        fn = functools.partial(
+            slam_step, config=self.config, cf_ops=self.cf_ops, camera=self.camera
+        )
+        return jax.jit(fn, donate_argnums=0)
+
+    @functools.cached_property
+    def run_chunk(self):
+        """``(SlamState, images[N,H,W]) -> (SlamState, StepOutput[N])`` — an
+        on-device ``lax.scan`` over a chunk of frames."""
+        fn = functools.partial(
+            slam_step, config=self.config, cf_ops=self.cf_ops, camera=self.camera
+        )
+
+        def run(state, images):
+            return jax.lax.scan(fn, state, images)
+
+        return jax.jit(run, donate_argnums=0)
+
+    @functools.cached_property
+    def finalize(self):
+        """End-of-sequence optimize (main.cpp:68-69 fires ``CheckAndOptimize``
+        on the last frame)."""
+        fn = functools.partial(
+            check_and_optimize_final,
+            config=self.config,
+            camera=self.camera,
+        )
+        return jax.jit(fn, donate_argnums=0)
+
+
+def make_engine(config: SlamConfig) -> SlamEngine:
+    return SlamEngine(
+        config=config,
+        cf_ops=make_cf_ops(config.cf),
+        camera=make_camera_ops(config.camera),
+    )
+
+
+def init_state(config: SlamConfig, cf_ops: CFOps) -> SlamState:
+    cf = config.cf
+    p = config.loop_closure.pending_capacity
+    return SlamState(
+        bank=make_keyframe_bank(cf, config.map),
+        edges=make_edge_store(config.map),
+        track=TrackState(
+            last_fft=jnp.zeros((cf.height, cf.width // 2 + 1), jnp.complex64),
+            last_polar=jnp.zeros(
+                (cf.rotation_divisor, cf.rotation_channel // 2 + 1), jnp.complex64
+            ),
+            last_cf_pose=jnp.zeros(3, jnp.float32),
+            last_cf_real_pose=jnp.zeros(3, jnp.float32),
+            last_pose=jnp.zeros(3, jnp.float32),
+            last_slot=jnp.zeros((), jnp.int32),
+            distance=jnp.zeros((), jnp.float32),
+            next_frame_id=jnp.zeros((), jnp.int32),
+            initialized=jnp.zeros((), bool),
+        ),
+        pending=PendingLoops(
+            loop_slot=jnp.zeros((p,), jnp.int32),
+            cur_slot=jnp.zeros((p,), jnp.int32),
+            rel_pose=jnp.zeros((p, 3), jnp.float32),
+            count=jnp.zeros((), jnp.int32),
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pose-graph trigger (CheckAndOptimize, map_builder.cc:108-116)
+# ---------------------------------------------------------------------------
+
+
+def _optimize_map(
+    bank: KeyframeBank,
+    edges: EdgeStore,
+    config: SlamConfig,
+    camera: CameraOps,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Solve the pose graph over the whole bank; returns (poses, cost).
+
+    Parity with ``OptimizeMap`` (map_builder.cc:196-273): edge measurements
+    stored in the camera frame are converted camera→robot at assembly
+    (:240); information is the stored matrix (identity); base slot pinned.
+    """
+    T_robot = camera.camera_to_robot(edges.T)
+    prob = PoseGraphProblem(
+        poses=bank.poses,
+        pose_mask=bank.valid_mask(),
+        from_slot=edges.from_slot,
+        to_slot=edges.to_slot,
+        T=T_robot,
+        # Identity information → identity sqrt factor; general info would use
+        # pose_graph.sqrt_information (kept out of the hot path).
+        sqrt_info=edges.info,
+        edge_mask=edges.valid_mask(),
+    )
+    cfg = SolverConfig(
+        max_iterations=config.optimizer.max_iterations,
+        estimate_scale=config.optimizer.with_scale,
+    )
+    poses, _, cost = solve_pose_graph(
+        prob,
+        cfg,
+        init_scale=1.0,
+        scale_free=not config.camera.accurate_height,
+    )
+    return poses, cost
+
+
+def _flush_pending_loops(
+    state: SlamState, config: SlamConfig, camera: CameraOps
+) -> Tuple[SlamState, jnp.ndarray]:
+    """AddLoopEdges + OptimizeMap + pending clear; returns (state, ran).
+
+    The reference clears pending matches even when <2 accumulated
+    (map_builder.cc:114-115) — single unconfirmed matches are discarded.
+    """
+    pending = state.pending
+    run = pending.count >= 2
+
+    def do_optimize(bank_edges):
+        bank, edges = bank_edges
+        # AddLoopEdges (map_builder.cc:184-194): image-plane → camera frame.
+        p = pending.loop_slot.shape[0]
+        for_each = jnp.arange(p)
+        live = for_each < pending.count
+        rel_cam = camera.image_plane_to_camera(pending.rel_pose)
+
+        def add_one(i, es):
+            return add_edge(
+                es,
+                from_slot=pending.loop_slot[i],
+                to_slot=pending.cur_slot[i],
+                T=rel_cam[i],
+                edge_type=EDGE_LOOP,
+                enabled=live[i],
+            )
+
+        edges = jax.lax.fori_loop(0, p, add_one, edges)
+        poses, _ = _optimize_map(bank, edges, config, camera)
+        bank = dataclasses.replace(bank, poses=poses)
+        return bank, edges
+
+    bank, edges = jax.lax.cond(
+        run, do_optimize, lambda be: be, (state.bank, state.edges)
+    )
+    cleared = dataclasses.replace(state.pending, count=jnp.zeros((), jnp.int32))
+    return (
+        dataclasses.replace(state, bank=bank, edges=edges, pending=cleared),
+        run,
+    )
+
+
+def check_and_optimize_final(
+    state: SlamState, *, config: SlamConfig, camera: CameraOps
+) -> Tuple[SlamState, jnp.ndarray]:
+    """Public end-of-sequence trigger (main.cpp:68-69)."""
+    return _flush_pending_loops(state, config, camera)
+
+
+# ---------------------------------------------------------------------------
+# The per-frame step (AddNewInput, map_builder.cc:30-70)
+# ---------------------------------------------------------------------------
+
+
+def slam_step(
+    state: SlamState,
+    image: jnp.ndarray,
+    *,
+    config: SlamConfig,
+    cf_ops: CFOps,
+    camera: CameraOps,
+) -> Tuple[SlamState, StepOutput]:
+    """Process one grayscale frame (f32 in [0, 1], shape (H, W))."""
+    kfs = config.keyframe_selection
+    lc_cfg = config.loop_closure
+
+    img_u = camera.undistort(image)
+    fft, polar = compute_intermedium(img_u, cf_ops)
+    frame_id = state.track.next_frame_id
+
+    def init_branch(state):
+        # Initialize (map_builder.cc:86-97): pose 0 in every frame; insert.
+        track = state.track
+        zero = jnp.zeros(3, jnp.float32)
+        bank, slot = add_keyframe(
+            state.bank,
+            fft=fft,
+            polar_fft=polar,
+            image=img_u,
+            pose=camera.image_plane_to_robot(zero),
+            frame_id=frame_id,
+            distance=jnp.zeros((), jnp.float32),
+            grid_scale=config.map.grid_scale,
+            enabled=jnp.asarray(True),
+        )
+        track = TrackState(
+            last_fft=fft,
+            last_polar=polar,
+            last_cf_pose=zero,
+            last_cf_real_pose=camera.image_plane_to_camera(zero),
+            last_pose=camera.image_plane_to_robot(zero),
+            last_slot=slot,
+            distance=jnp.zeros((), jnp.float32),
+            next_frame_id=frame_id + 1,
+            initialized=jnp.asarray(True),
+        )
+        out = StepOutput(
+            tracked=jnp.asarray(True),
+            inserted=jnp.asarray(True),
+            loop_found=jnp.asarray(False),
+            optimized=jnp.asarray(False),
+            response=jnp.full((3,), jnp.inf, jnp.float32),
+            cf_pose=camera.image_plane_to_robot(zero),
+            pose=track.last_pose,
+            frame_id=frame_id,
+            keyframe_slot=slot,
+            loop_slot=jnp.asarray(-1, jnp.int32),
+        )
+        return dataclasses.replace(state, bank=bank, track=track), out
+
+    def track_branch(state):
+        track = state.track
+
+        # --- Tracking (map_builder.cc:127-138) --------------------------
+        rel_center, response = compute_pose(
+            track.last_fft, img_u, track.last_polar, polar, cf_ops,
+            large_rotation=False,
+        )
+        rel_principal = camera.center_to_principal(rel_center)
+        good = jnp.logical_and(
+            response[0] > kfs.lower_response_thr,
+            response[2] > kfs.lower_response_thr,
+        )
+        cur_cf_pose = absolute_pose(track.last_cf_pose, rel_principal)
+        cur_cf_real = camera.image_plane_to_camera(cur_cf_pose)
+
+        # UpdateCurrentPose (map_builder.cc:118-125): compose in robot frame.
+        rel_robot = relative_pose(
+            camera.image_plane_to_robot(track.last_cf_pose),
+            camera.image_plane_to_robot(cur_cf_pose),
+        )
+        cur_pose = absolute_pose(track.last_pose, rel_robot)
+
+        # --- Keyframe decision (map_builder.cc:47-53) --------------------
+        # ComputeRelativeDA (:158-167): componentwise cf delta → camera frame.
+        da_cam = camera.image_plane_to_camera(cur_cf_pose - track.last_cf_pose)
+        d = jnp.linalg.norm(da_cam[:2])
+        a = jnp.abs(da_cam[2])
+        c1 = d > kfs.max_distance
+        c2 = a > kfs.max_angle
+        c3 = jnp.logical_and(
+            response[0] > kfs.lower_response_thr,
+            response[0] < kfs.upper_response_thr,
+        )
+        c4 = jnp.logical_and(
+            response[2] > kfs.lower_response_thr,
+            response[2] < kfs.upper_response_thr,
+        )
+        insert = jnp.logical_and(good, c1 | c2 | c3 | c4)
+        new_distance = track.distance + jnp.where(insert, d, 0.0)
+
+        # --- Edge + bank insert (map_builder.cc:59-62) -------------------
+        rel_cf_real = relative_pose(track.last_cf_real_pose, cur_cf_real)
+        bank, slot = add_keyframe(
+            state.bank,
+            fft=fft,
+            polar_fft=polar,
+            image=img_u,
+            pose=cur_pose,
+            frame_id=frame_id,
+            distance=new_distance,
+            grid_scale=config.map.grid_scale,
+            enabled=insert,
+        )
+        stored = jnp.logical_and(insert, state.bank.count < state.bank.capacity)
+        edges = add_edge(
+            state.edges,
+            from_slot=track.last_slot,
+            to_slot=slot,
+            T=rel_cf_real,
+            edge_type=EDGE_KCC,
+            enabled=stored,
+        )
+        state = dataclasses.replace(state, bank=bank, edges=edges)
+
+        # --- Loop closure (map_builder.cc:63, §2.2) ----------------------
+        def do_search(_):
+            return find_loop_closure(
+                bank,
+                img_u,
+                polar,
+                frame_id,
+                new_distance,
+                cur_pose,
+                cf_ops,
+                lc_cfg,
+                config.map.grid_scale,
+            )
+
+        def no_search(_):
+            return LoopResult(
+                found=jnp.asarray(False),
+                loop_slot=jnp.asarray(0, jnp.int32),
+                relative_pose=jnp.zeros(3, jnp.float32),
+                response=jnp.zeros(3, jnp.float32),
+            )
+
+        # ``to_find_loop`` is static: with it off the search branch is never
+        # even compiled (map_builder.cc:63's ternary, resolved at trace time).
+        if lc_cfg.to_find_loop:
+            lc = jax.lax.cond(stored, do_search, no_search, None)
+            loop_found = jnp.logical_and(stored, lc.found)
+        else:
+            lc = no_search(None)
+            loop_found = jnp.asarray(False)
+
+        # Append pending match (FindLoopClosure → _loop_matches, :172-182).
+        pending = state.pending
+        pslot = jnp.minimum(pending.count, pending.loop_slot.shape[0] - 1)
+        fits = pending.count < pending.loop_slot.shape[0]
+        padd = jnp.logical_and(loop_found, fits)
+        rel_pp = camera.center_to_principal(lc.relative_pose)
+        pending = PendingLoops(
+            loop_slot=jnp.where(
+                padd, pending.loop_slot.at[pslot].set(lc.loop_slot), pending.loop_slot
+            ),
+            cur_slot=jnp.where(
+                padd, pending.cur_slot.at[pslot].set(slot), pending.cur_slot
+            ),
+            rel_pose=jnp.where(
+                padd, pending.rel_pose.at[pslot].set(rel_pp), pending.rel_pose
+            ),
+            count=pending.count + padd.astype(jnp.int32),
+        )
+        state = dataclasses.replace(state, pending=pending)
+
+        # --- Optimize trigger: keyframe inserted, no loop found ----------
+        def maybe_opt(st):
+            return _flush_pending_loops(st, config, camera)
+
+        state, optimized = jax.lax.cond(
+            jnp.logical_and(stored, ~loop_found),
+            maybe_opt,
+            lambda st: (st, jnp.asarray(False)),
+            state,
+        )
+
+        # UpdateValueAfterLoop (map_builder.cc:275-279): re-derive the chain
+        # from the optimized pose when the solver ran.
+        opt_pose = state.bank.poses[slot]
+        cur_pose = jnp.where(optimized, opt_pose, cur_pose)
+        cur_cf_real = jnp.where(
+            optimized, camera.robot_to_camera(opt_pose), cur_cf_real
+        )
+        cur_cf_pose = jnp.where(
+            optimized, camera.camera_to_image_plane(camera.robot_to_camera(opt_pose)),
+            cur_cf_pose,
+        )
+
+        # --- UpdateIntermedium (map_builder.cc:99-106): only on insert ----
+        track = TrackState(
+            last_fft=jnp.where(insert, fft, track.last_fft),
+            last_polar=jnp.where(insert, polar, track.last_polar),
+            last_cf_pose=jnp.where(insert, cur_cf_pose, track.last_cf_pose),
+            last_cf_real_pose=jnp.where(insert, cur_cf_real, track.last_cf_real_pose),
+            last_pose=jnp.where(insert, cur_pose, track.last_pose),
+            last_slot=jnp.where(stored, slot, track.last_slot),
+            distance=new_distance,
+            next_frame_id=frame_id + 1,
+            initialized=jnp.asarray(True),
+        )
+        state = dataclasses.replace(state, track=track)
+
+        # GetCFPose (map_builder.cc:282-291): raw odometry in robot frame
+        # relative to the robot pose of the cf origin.
+        cf_pose = relative_pose(
+            camera.image_plane_to_robot(jnp.zeros(3, jnp.float32)),
+            camera.image_plane_to_robot(cur_cf_pose),
+        )
+        out = StepOutput(
+            tracked=good,
+            inserted=insert,
+            loop_found=loop_found,
+            optimized=optimized,
+            response=response,
+            cf_pose=cf_pose,
+            pose=cur_pose,
+            frame_id=frame_id,
+            keyframe_slot=jnp.where(stored, slot, -1),
+            loop_slot=jnp.where(loop_found, lc.loop_slot, -1),
+        )
+        return state, out
+
+    return jax.lax.cond(state.track.initialized, track_branch, init_branch, state)

@@ -1,0 +1,221 @@
+"""End-to-end SLAM engine tests on synthetic ground texture (SURVEY §4b-c).
+
+Build-plan gate #2: frame-to-keyframe VO on a synthetic sequence with
+trajectory-error bounds, plus the loop-closure → pose-graph pipeline
+(gate #3 analogue, hermetic).
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from nislam_tpu.core.config import (
+    CFConfig,
+    CameraConfig,
+    KeyframeSelectionConfig,
+    LoopClosureConfig,
+    MapConfig,
+    SlamConfig,
+)
+from nislam_tpu.core.map_store import EDGE_KCC, EDGE_LOOP
+from nislam_tpu.core.slam import make_engine
+from nislam_tpu.utils.synthetic import (
+    make_world,
+    render_sequence,
+    square_loop_path,
+    straight_path,
+)
+
+H, W = 96, 128
+PX2M = 0.01  # 1 px = height/fx = 1/100 m
+
+
+def _config(**lc_overrides) -> SlamConfig:
+    lc = dict(
+        to_find_loop=True,
+        position_response_thr=8.0,
+        angle_response_thr=8.0,
+        frame_gap_thr=30,
+        distance_thr=1.0,
+        max_candidates=8,
+    )
+    lc.update(lc_overrides)
+    return SlamConfig(
+        cf=CFConfig(width=W, height=H, rotation_divisor=180, rotation_channel=96),
+        keyframe_selection=KeyframeSelectionConfig(
+            max_distance=0.10,
+            max_angle=0.05,
+            lower_response_thr=4.0,
+            upper_response_thr=6.0,
+        ),
+        # grid_scale bounds loop candidates to a ±2-cell neighborhood; keep it
+        # within H/2 pixels (0.48 m here) so circular-correlation aliasing
+        # (shifts beyond half the image wrap around) cannot produce false
+        # loop matches — the same sizing rule the reference's configs follow.
+        map=MapConfig(grid_scale=0.15, keyframe_capacity=128, edge_capacity=512),
+        loop_closure=LoopClosureConfig(**lc),
+        camera=CameraConfig(
+            image_width=W,
+            image_height=H,
+            height=1.0,
+            intrinsics=(100.0, W / 2.0, 100.0, H / 2.0),
+        ),
+    )
+
+
+@pytest.fixture(scope="module")
+def world():
+    return make_world(1024, 3.0)
+
+
+def _gt_xy(poses):
+    return np.array([(p[0] - 512.0, p[1] - 512.0) for p in poses]) * PX2M
+
+
+def test_vo_straight_line(world):
+    """Gate #2: VO on a straight path — trajectory error ≪ path length."""
+    poses = straight_path(40, step=6.0)
+    frames = render_sequence(world, H, W, poses)
+    engine = make_engine(_config(to_find_loop=False))
+    state = engine.init_state()
+    state, outs = engine.run_chunk(state, jnp.asarray(frames))
+    outs = jax.tree.map(np.asarray, outs)
+
+    assert outs.tracked.all()
+    assert outs.inserted.sum() >= 10  # step 6 px = 0.06 m < max_distance works via c3/c1
+    gt = _gt_xy(poses)
+    err = np.linalg.norm(outs.pose[:, :2] - gt, axis=1)
+    path_len = 39 * 6.0 * PX2M
+    assert err[-1] < 0.02 * path_len + 1e-6  # < 2 % of 2.34 m
+    assert err.mean() < 0.01
+    # Raw cf odometry equals the optimized chain when nothing is optimized.
+    np.testing.assert_allclose(outs.cf_pose, outs.pose, atol=1e-5)
+
+
+def test_vo_with_rotation(world):
+    """Rotating trajectory: cumulative yaw tracks ground truth.
+
+    Windowed views bias small rotations toward zero (the shared rectangular
+    window anchors the power-spectrum correlation — the same physics as a
+    real camera, amplified at this tiny test size), so the tolerance is a
+    fraction of total yaw rather than per-bin.
+    """
+    n, step, yaw = 12, 4.0, np.radians(6.0)
+    poses = [(512.0 + i * step, 512.0, i * yaw) for i in range(n)]
+    frames = render_sequence(world, H, W, poses)
+    cfg = _config(to_find_loop=False)
+    cfg = dataclasses.replace(
+        cfg,
+        cf=dataclasses.replace(cfg.cf, rotation_divisor=360),
+        keyframe_selection=dataclasses.replace(
+            cfg.keyframe_selection, max_angle=0.03
+        ),
+    )
+    engine = make_engine(cfg)
+    state = engine.init_state()
+    state, outs = engine.run_chunk(state, jnp.asarray(frames))
+    outs = jax.tree.map(np.asarray, outs)
+    assert outs.tracked.all()
+    true_total = (n - 1) * yaw
+    got_yaw = outs.pose[-1, 2]
+    assert abs(got_yaw - true_total) < 0.25 * true_total
+    # Monotonically accumulating, correct sign.
+    yaws = outs.pose[:, 2]
+    assert (np.diff(yaws) >= -1e-3).all()
+
+
+def test_loop_closure_and_optimization(world):
+    """Square loop: loops detected on return, pose graph runs in-sequence."""
+    poses = square_loop_path(side_steps=25, step=5.7, tail=30)
+    frames = render_sequence(world, H, W, poses)
+    engine = make_engine(_config())
+    state = engine.init_state()
+    state, outs = engine.run_chunk(state, jnp.asarray(frames))
+    outs = jax.tree.map(np.asarray, outs)
+
+    assert outs.tracked.all()
+    assert outs.loop_found.sum() >= 2
+    # The long tail leaves the loop region → a non-loop keyframe follows the
+    # accumulated matches → CheckAndOptimize fires inside the scan.
+    assert outs.optimized.sum() >= 1
+    types = np.asarray(state.edges.types)[: int(state.edges.count)]
+    assert (types == EDGE_LOOP).sum() >= 2
+    assert (types == EDGE_KCC).sum() >= 30
+
+    # Keyframe poses stay consistent with ground truth after optimization.
+    gt = _gt_xy(poses)
+    idx = np.where(outs.keyframe_slot >= 0)[0]
+    slots = outs.keyframe_slot[idx]
+    bank = np.asarray(state.bank.poses)
+    err = np.linalg.norm(bank[slots][:, :2] - gt[idx], axis=1)
+    assert err.max() < 0.12  # ≤ ~2 px/keyframe quantization drift, bounded
+    assert err.mean() < 0.06
+
+
+def test_loop_gating_respects_frame_gap(world):
+    """With a huge frame gap no loops may be reported."""
+    poses = square_loop_path(side_steps=25, step=5.7, tail=5)
+    frames = render_sequence(world, H, W, poses)
+    engine = make_engine(_config(frame_gap_thr=10_000))
+    state = engine.init_state()
+    state, outs = engine.run_chunk(state, jnp.asarray(frames))
+    assert int(np.asarray(outs.loop_found).sum()) == 0
+
+
+def test_finalize_flushes_pending(world):
+    """End-of-dataset CheckAndOptimize (main.cpp:68-69 behavior)."""
+    poses = square_loop_path(side_steps=25, step=5.7, tail=4)
+    frames = render_sequence(world, H, W, poses)
+    engine = make_engine(_config())
+    state = engine.init_state()
+    state, outs = engine.run_chunk(state, jnp.asarray(frames))
+    assert int(state.pending.count) >= 2
+    state, ran = engine.finalize(state)
+    assert bool(ran)
+    assert int(state.pending.count) == 0
+    types = np.asarray(state.edges.types)[: int(state.edges.count)]
+    assert (types == EDGE_LOOP).sum() >= 2
+
+
+def test_step_matches_scan(world):
+    """The jitted single step and the lax.scan driver are the same program."""
+    poses = straight_path(12, step=6.0)
+    frames = render_sequence(world, H, W, poses)
+    engine = make_engine(_config(to_find_loop=False))
+
+    s1 = engine.init_state()
+    step_poses = []
+    for i in range(len(frames)):
+        s1, o = engine.step(s1, jnp.asarray(frames[i]))
+        step_poses.append(np.asarray(o.pose))
+    s2 = engine.init_state()
+    s2, outs = engine.run_chunk(s2, jnp.asarray(frames))
+    np.testing.assert_allclose(
+        np.stack(step_poses), np.asarray(outs.pose), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(s1.bank.poses), np.asarray(s2.bank.poses), atol=1e-6
+    )
+
+
+def test_tracking_lost_drops_frame(world):
+    """Uncorrelated frames must fail the PSR gate and be dropped
+    (map_builder.cc:55-57)."""
+    poses = straight_path(3, step=6.0)
+    frames = render_sequence(world, H, W, poses)
+    engine = make_engine(_config(to_find_loop=False))
+    state = engine.init_state()
+    state, _ = engine.step(state, jnp.asarray(frames[0]))
+    rng = np.random.default_rng(7)
+    noise = rng.random((H, W), dtype=np.float32)
+    state, out = engine.step(state, jnp.asarray(noise))
+    assert not bool(out.tracked)
+    assert not bool(out.inserted)
+    assert int(state.bank.count) == 1
+    # The dropped frame did not advance the tracking target.
+    state, out2 = engine.step(state, jnp.asarray(frames[1]))
+    assert bool(out2.tracked)
