@@ -89,13 +89,15 @@ class MapStitcherConfig:
     """/root/reference/include/read_configs.h:46-49 plus canvas bounds.
 
     The reference tiles an infinite plane into hash-keyed ``cell_size²``
-    chunks; the TPU build rasterizes into a bounded scatter-add canvas of
-    ``canvas_cells × canvas_cells`` cells centered on the origin.
+    chunks; the TPU build rasterizes into one bounded dense canvas of
+    ``canvas_size × canvas_size`` image-plane pixels centered on the
+    trajectory origin (static shape for XLA; size it to the deployment
+    area).  ``cell_size`` is kept for config parity.
     """
 
     stitch_map: bool = True
     cell_size: int = 1000
-    canvas_cells: int = 3
+    canvas_size: int = 2048
 
 
 @dataclasses.dataclass(frozen=True)
@@ -236,7 +238,7 @@ def load_config(path: str, *, load_camera: bool = True) -> SlamConfig:
     ms = MapStitcherConfig(
         stitch_map=bool(msn.get("stitch_map", True)),
         cell_size=int(msn.get("cell_size", 1000)),
-        canvas_cells=int(msn.get("canvas_cells", 3)),
+        canvas_size=int(msn.get("canvas_size", 2048)),
     )
 
     opn = node.get("optimizer", {})

@@ -1,0 +1,130 @@
+"""Map stitcher tests: rasterization geometry, averaging, recompute."""
+
+import math
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from nislam_tpu.core.camera import make_camera_ops
+from nislam_tpu.core.config import CameraConfig, CFConfig, MapConfig, MapStitcherConfig
+from nislam_tpu.core.map_store import add_keyframe, make_keyframe_bank
+from nislam_tpu.core.stitcher import (
+    StitchCanvas,
+    insert_frame,
+    make_canvas,
+    map_resolution,
+    occupancy_grid,
+    occupancy_origin,
+    recompute,
+)
+
+H, W = 16, 24
+CAM = CameraConfig(
+    image_width=W, image_height=H, height=1.0,
+    intrinsics=(100.0, W / 2.0, 100.0, H / 2.0),
+)
+CFG = MapStitcherConfig(canvas_size=128)
+
+
+def _camera():
+    return make_camera_ops(CAM)
+
+
+def _np_raster(image, image_pose):
+    """NumPy oracle of AddImageToOccupancy's coordinate map
+    (/root/reference/src/map_stitcher.cc:44-111)."""
+    h, w = image.shape
+    th = image_pose[2]
+    r = np.array([[math.cos(th), -math.sin(th)], [math.sin(th), math.cos(th)]])
+    data = {}
+    for j in range(h):
+        for i in range(w):
+            x = r[0, 0] * (i - w / 2.0) + r[0, 1] * (j - h / 2.0) + image_pose[0]
+            y = r[1, 0] * (i - w / 2.0) + r[1, 1] * (j - h / 2.0) + image_pose[1]
+            xi, yi = int(x), int(y)  # C truncation
+            s, c = data.get((xi, yi), (0.0, 0))
+            data[(xi, yi)] = (s + image[j, i] * 100.0, c + 1)
+    return data
+
+
+def test_insert_matches_numpy_oracle(rng):
+    cam = _camera()
+    img = rng.random((H, W), dtype=np.float32)
+    pose_robot = np.array([0.05, -0.03, 0.3], np.float32)  # 5, -3 px, 0.3 rad
+    canvas = insert_frame(make_canvas(CFG), jnp.asarray(img), jnp.asarray(pose_robot), cam)
+
+    # Oracle in image-plane pixels (principal point at center → the robot
+    # pose maps to pixels by ×fx=×100).
+    image_pose = np.array([5.0, -3.0, 0.3])
+    oracle = _np_raster(img, image_pose)
+    data = np.asarray(canvas.data)
+    wts = np.asarray(canvas.weight)
+    half = CFG.canvas_size // 2
+    for (xi, yi), (s, c) in oracle.items():
+        np.testing.assert_allclose(data[yi + half, xi + half], s, atol=1e-2)
+        assert wts[yi + half, xi + half] == c
+    assert wts.sum() == H * W
+
+
+def test_identity_insert_copies_image(rng):
+    cam = _camera()
+    img = rng.random((H, W), dtype=np.float32)
+    canvas = insert_frame(make_canvas(CFG), jnp.asarray(img), jnp.zeros(3), cam)
+    half = CFG.canvas_size // 2
+    block = np.asarray(canvas.data)[
+        half - H // 2 : half + H // 2, half - W // 2 : half + W // 2
+    ]
+    np.testing.assert_allclose(block, img * 100.0, atol=1e-3)
+
+
+def test_weighted_average_and_occupancy(rng):
+    cam = _camera()
+    a = np.full((H, W), 0.2, np.float32)
+    b = np.full((H, W), 0.6, np.float32)
+    canvas = make_canvas(CFG)
+    canvas = insert_frame(canvas, jnp.asarray(a), jnp.zeros(3), cam)
+    canvas = insert_frame(canvas, jnp.asarray(b), jnp.zeros(3), cam)
+    grid = np.asarray(occupancy_grid(canvas))
+    half = CFG.canvas_size // 2
+    # mean intensity = 40 → occupancy 60; unseen → −1.
+    assert grid[half, half] == 60
+    assert grid[0, 0] == -1
+
+
+def test_recompute_equals_incremental(rng):
+    cam = _camera()
+    cf = CFConfig(width=W, height=H, rotation_divisor=36, rotation_channel=16)
+    map_cfg = MapConfig(keyframe_capacity=4, edge_capacity=8)
+    bank = make_keyframe_bank(cf, map_cfg)
+    canvas_inc = make_canvas(CFG)
+    poses = [np.zeros(3), np.array([0.03, 0.02, 0.4])]
+    for k, pose in enumerate(poses):
+        img = rng.random((H, W), dtype=np.float32)
+        bank, _ = add_keyframe(
+            bank,
+            fft=jnp.zeros((H, W // 2 + 1), jnp.complex64),
+            polar_fft=jnp.zeros((36, 9), jnp.complex64),
+            image=jnp.asarray(img),
+            pose=jnp.asarray(pose, jnp.float32),
+            frame_id=jnp.asarray(k, jnp.int32),
+            distance=jnp.zeros(()),
+            grid_scale=0.1,
+            enabled=jnp.asarray(True),
+        )
+        canvas_inc = insert_frame(canvas_inc, jnp.asarray(img), jnp.asarray(pose, jnp.float32), cam)
+    canvas_re = recompute(make_canvas(CFG), bank, cam)
+    np.testing.assert_allclose(
+        np.asarray(canvas_re.data), np.asarray(canvas_inc.data), atol=1e-3
+    )
+    np.testing.assert_array_equal(
+        np.asarray(canvas_re.weight), np.asarray(canvas_inc.weight)
+    )
+
+
+def test_origin_and_resolution():
+    cam = _camera()
+    canvas = make_canvas(CFG)
+    # 1 px = height/f = 0.01 m; corner at (−64, −64) px → (−0.64, −0.64) m.
+    np.testing.assert_allclose(np.asarray(occupancy_origin(cam, canvas)), [-0.64, -0.64], atol=1e-6)
+    np.testing.assert_allclose(float(map_resolution(cam)), 0.01, atol=1e-8)
