@@ -1,0 +1,215 @@
+"""Command-line app — the TPU-native equivalent of the reference's ROS node.
+
+Mirrors ``main()`` (/root/reference/main.cpp:32-99): config → dataset →
+engine → per-frame loop → end-of-dataset optimize → trajectory dumps
+(``KCC_Keyframe.txt`` + ``optimized_keyframe.txt`` in TUM format) — minus the
+ROS transport (offline artifacts instead: trajectory plot, occupancy PNG),
+plus what the reference lacks: a scan (chunked, on-device) execution mode,
+state checkpointing/resume, and ATE evaluation against ground truth.
+
+Usage:
+    python -m nislam_tpu run --config configs/synthetic.yaml
+    python -m nislam_tpu run --config cfg.yaml --mode step   # per-frame ms prints
+    python -m nislam_tpu pack --dataroot DATA --out frames.nisf
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+from typing import List
+
+import numpy as np
+
+
+def _add_run_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--config", required=True, help="YAML config path")
+    p.add_argument("--dataroot", default=None, help="override dataset.dataroot")
+    p.add_argument(
+        "--mode", choices=["scan", "step"], default="scan",
+        help="scan: chunked lax.scan on device (fast); step: per-frame jitted "
+        "steps with latency prints (reference main.cpp behavior)",
+    )
+    p.add_argument("--chunk", type=int, default=64, help="scan chunk length")
+    p.add_argument("--max-frames", type=int, default=0, help="truncate dataset")
+    p.add_argument("--saving-root", default=None, help="override saving.saving_root")
+    p.add_argument("--load-state", default=None, help="resume from checkpoint")
+    p.add_argument("--save-state", default=None, help="write final state checkpoint")
+    p.add_argument("--groundtruth", default=None, help="TUM groundtruth file for ATE")
+    p.add_argument("--plot", action="store_true", help="save trajectory plot")
+    p.add_argument(
+        "--stitch", action="store_true",
+        help="rasterize the occupancy mosaic and save it as PNG",
+    )
+
+
+def cmd_run(args: argparse.Namespace) -> int:
+    import jax
+    import jax.numpy as jnp
+
+    from nislam_tpu.core.config import load_config
+    from nislam_tpu.core.slam import make_engine
+    from nislam_tpu.io.checkpoint import load_state, save_state
+    from nislam_tpu.io.dataset import open_dataset
+    from nislam_tpu.io.trajectory import ate_rmse, read_tum, write_tum
+
+    config = load_config(args.config)
+    dataroot = args.dataroot or config.dataset.dataroot
+    dataset = open_dataset(dataroot, config.dataset.image_dir_name or "rgb")
+    n = len(dataset)
+    if args.max_frames:
+        n = min(n, args.max_frames)
+    print(f"dataset: {dataroot} ({n} frames)")
+
+    engine = make_engine(config)
+    state = engine.init_state()
+    if args.load_state:
+        state = load_state(args.load_state, state)
+        print(f"resumed from {args.load_state} ({int(state.bank.count)} keyframes)")
+
+    all_times: List[float] = []
+    outs_list = []
+    t_start = time.time()
+    if args.mode == "step":
+        for i in range(n):
+            img, ts = dataset.get(i)
+            all_times.append(ts)
+            t1 = time.time()
+            state, out = engine.step(state, jnp.asarray(img))
+            out = jax.tree.map(np.asarray, out)  # sync
+            t2 = time.time()
+            print(f"{i}: processing for one frame is {1e3 * (t2 - t1):.2f}ms")
+            outs_list.append(out)
+            if out.inserted:
+                print("Insert a keyframe !")
+        outs = jax.tree.map(lambda *xs: np.stack(xs), *outs_list)
+    else:
+        chunks = []
+        done = 0
+        for images, ts in dataset.chunks(args.chunk):
+            if done >= n:
+                break
+            images, ts = images[: n - done], ts[: n - done]
+            all_times.extend(ts.tolist())
+            state, out = engine.run_chunk(state, jnp.asarray(images))
+            chunks.append(jax.tree.map(np.asarray, out))
+            done += len(images)
+        outs = jax.tree.map(lambda *xs: np.concatenate(xs), *chunks)
+    state, ran = engine.finalize(state)
+    elapsed = time.time() - t_start
+    fps = n / elapsed
+    n_kf = int(state.bank.count)
+    print(
+        f"{n} frames in {elapsed:.2f}s = {fps:.1f} frames/s | "
+        f"keyframes {n_kf} | edges {int(state.edges.count)} | "
+        f"loops {int(outs.loop_found.sum())} | "
+        f"optimized {int(outs.optimized.sum()) + int(ran)}x"
+    )
+
+    # --- trajectory dumps (main.cpp:88-98) -------------------------------
+    saving_root = args.saving_root or config.saving.saving_root
+    os.makedirs(saving_root, exist_ok=True)
+    times_arr = np.asarray(all_times)
+    kf_idx = np.where(outs.keyframe_slot >= 0)[0]
+    kf_slots = outs.keyframe_slot[kf_idx]
+    kcc_path = os.path.join(saving_root, "KCC_Keyframe.txt")
+    # KCC path: raw odometry at each inserted keyframe (main.cpp:76-78).
+    write_tum(kcc_path, times_arr[kf_idx], outs.cf_pose[kf_idx])
+    opt_path = os.path.join(saving_root, "optimized_keyframe.txt")
+    bank_poses = np.asarray(state.bank.poses)
+    write_tum(opt_path, times_arr[kf_idx], bank_poses[kf_slots])
+    print(f"saved {kcc_path}, {opt_path}")
+
+    if args.save_state:
+        save_state(args.save_state, state)
+        print(f"saved state checkpoint to {args.save_state}")
+
+    if args.groundtruth:
+        gt_times, gt_poses = read_tum(args.groundtruth)
+        ate = ate_rmse(times_arr[kf_idx], bank_poses[kf_slots][:, :2], gt_times, gt_poses[:, :2])
+        print(f"ATE RMSE (optimized keyframes): {ate:.4f} m")
+
+    if args.plot:
+        from nislam_tpu.io.visualization import save_trajectory_plot
+
+        gt_xy = None
+        if args.groundtruth:
+            gt_xy = read_tum(args.groundtruth)[1][:, :2]
+        p = save_trajectory_plot(
+            os.path.join(saving_root, "trajectory.png"),
+            outs.cf_pose[kf_idx][:, :2],
+            bank_poses[kf_slots][:, :2],
+            gt_xy,
+        )
+        print(f"saved {p}")
+
+    if args.stitch and config.map_stitcher.stitch_map:
+        from nislam_tpu.core.stitcher import make_canvas, occupancy_grid, recompute
+        from nislam_tpu.io.visualization import save_occupancy_png
+
+        canvas = recompute(make_canvas(config.map_stitcher), state.bank, engine.camera)
+        p = save_occupancy_png(
+            os.path.join(saving_root, "occupancy.png"),
+            np.asarray(occupancy_grid(canvas)),
+        )
+        print(f"saved {p}")
+    return 0
+
+
+def cmd_synth(args: argparse.Namespace) -> int:
+    """Generate a synthetic ground-texture dataset in the reference layout
+    (/root/reference/README.md:142-153): rgb/ PNGs + image_names.txt +
+    times.txt, plus groundtruth.txt (TUM) and a ready-to-run config YAML."""
+    from nislam_tpu.io.synth_dataset import generate_synthetic_dataset
+
+    cfg_path = generate_synthetic_dataset(
+        args.out,
+        n_frames=args.frames,
+        height=args.height,
+        width=args.width,
+        seed=args.seed,
+        path_kind=args.path,
+    )
+    print(f"wrote synthetic dataset to {args.out}; config: {cfg_path}")
+    return 0
+
+
+def cmd_pack(args: argparse.Namespace) -> int:
+    from nislam_tpu.io.dataset import open_dataset
+
+    ds = open_dataset(args.dataroot, args.image_dir)
+    out = ds.pack(args.out)
+    print(f"packed {len(ds)} frames to {out}")
+    return 0
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(prog="nislam_tpu")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+    run_p = sub.add_parser("run", help="run SLAM over a dataset (main.cpp parity)")
+    _add_run_args(run_p)
+    pack_p = sub.add_parser("pack", help="pack a dataset for the native loader")
+    pack_p.add_argument("--dataroot", required=True)
+    pack_p.add_argument("--image-dir", default="rgb")
+    pack_p.add_argument("--out", required=True)
+    synth_p = sub.add_parser("synth", help="generate a synthetic dataset + config")
+    synth_p.add_argument("--out", required=True)
+    synth_p.add_argument("--frames", type=int, default=200)
+    synth_p.add_argument("--height", type=int, default=480)
+    synth_p.add_argument("--width", type=int, default=640)
+    synth_p.add_argument("--seed", type=int, default=42)
+    synth_p.add_argument("--path", choices=["square", "straight"], default="square")
+    args = parser.parse_args(argv)
+    if args.cmd == "run":
+        return cmd_run(args)
+    if args.cmd == "pack":
+        return cmd_pack(args)
+    if args.cmd == "synth":
+        return cmd_synth(args)
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

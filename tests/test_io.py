@@ -1,0 +1,220 @@
+"""IO-layer tests: datasets, trajectory formats, ATE, checkpoints, CLI."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from nislam_tpu.io.dataset import (
+    ImageFolderDataset,
+    SyntheticDataset,
+    TumRgbdDataset,
+    open_dataset,
+)
+from nislam_tpu.io.trajectory import (
+    associate,
+    ate_rmse,
+    read_tum,
+    umeyama_2d,
+    write_tum,
+)
+
+
+def _write_png(path, arr):
+    import cv2
+
+    cv2.imwrite(str(path), arr)
+
+
+@pytest.fixture
+def ref_layout(tmp_path, rng):
+    """Reference dataset layout (README.md:142-153)."""
+    d = tmp_path / "ds"
+    (d / "rgb").mkdir(parents=True)
+    names = []
+    for i in range(5):
+        img = (rng.random((8, 12)) * 255).astype(np.uint8)
+        name = f"{i:05d}.png"
+        _write_png(d / "rgb" / name, img)
+        names.append(name)
+    (d / "image_names.txt").write_text("\n".join(names) + "\n")
+    (d / "times.txt").write_text("\n".join(f"{i * 0.1:.6f}" for i in range(5)) + "\n")
+    return str(d)
+
+
+def test_image_folder_dataset(ref_layout):
+    ds = ImageFolderDataset(ref_layout)
+    assert len(ds) == 5
+    img, t = ds.get(2)
+    assert img.shape == (8, 12) and img.dtype == np.float32
+    assert 0.0 <= img.min() and img.max() <= 1.0
+    assert t == pytest.approx(0.2)
+    # auto-detection
+    assert isinstance(open_dataset(ref_layout), ImageFolderDataset)
+
+
+def test_missing_times_gives_minus_one(tmp_path, rng):
+    d = tmp_path / "ds2"
+    (d / "rgb").mkdir(parents=True)
+    _write_png(d / "rgb" / "a.png", (rng.random((4, 4)) * 255).astype(np.uint8))
+    (d / "image_names.txt").write_text("a.png\n")
+    ds = ImageFolderDataset(str(d))
+    assert ds.get(0)[1] == -1.0  # dataset.cc:47-53 semantics
+
+
+def test_tum_layout(tmp_path, rng):
+    d = tmp_path / "tum"
+    (d / "rgb").mkdir(parents=True)
+    lines = ["# comment"]
+    for i in range(3):
+        img = (rng.random((6, 6)) * 255).astype(np.uint8)
+        _write_png(d / "rgb" / f"{i}.png", img)
+        lines.append(f"{1300000000.5 + i} rgb/{i}.png")
+    (d / "rgb.txt").write_text("\n".join(lines) + "\n")
+    ds = open_dataset(str(d))
+    assert isinstance(ds, TumRgbdDataset)
+    assert len(ds) == 3
+    _, t = ds.get(1)
+    assert t == pytest.approx(1300000001.5)
+
+
+def test_chunks(rng):
+    frames = rng.random((7, 4, 4)).astype(np.float32)
+    ds = SyntheticDataset(frames, rate_hz=10.0)
+    chunks = list(ds.chunks(3))
+    assert [len(c[0]) for c in chunks] == [3, 3, 1]
+    np.testing.assert_allclose(chunks[1][1], [0.3, 0.4, 0.5])
+
+
+def test_pack_roundtrip(tmp_path, rng):
+    import struct
+
+    frames = rng.random((3, 4, 6)).astype(np.float32)
+    ds = SyntheticDataset(frames, rate_hz=10.0)
+    p = str(tmp_path / "frames.nisf")
+    ds.pack(p)
+    with open(p, "rb") as f:
+        magic, ver, n, h, w = struct.unpack("<4sIIII", f.read(20))
+        assert (magic, ver, n, h, w) == (b"NISF", 1, 3, 4, 6)
+        times = np.frombuffer(f.read(8 * n), "<f8")
+        np.testing.assert_allclose(times, [0.0, 0.1, 0.2])
+        data = np.frombuffer(f.read(), "<f4").reshape(3, 4, 6)
+        np.testing.assert_array_equal(data, frames)
+
+
+# ---------------------------------------------------------------------------
+# Trajectories
+# ---------------------------------------------------------------------------
+
+
+def test_tum_roundtrip(tmp_path):
+    times = np.array([0.0, 0.5, 1.0])
+    poses = np.array([[0, 0, 0], [1.0, 2.0, 0.3], [-1.0, 0.5, -2.8]])
+    p = str(tmp_path / "traj.txt")
+    write_tum(p, times, poses)
+    t2, p2 = read_tum(p)
+    np.testing.assert_allclose(t2, times, atol=1e-6)
+    np.testing.assert_allclose(p2, poses, atol=1e-5)
+
+
+def test_associate():
+    a = np.array([0.0, 1.0, 2.0])
+    b = np.array([0.005, 1.5, 1.994])
+    ia, ib = associate(a, b, max_dt=0.02)
+    np.testing.assert_array_equal(ia, [0, 2])
+    np.testing.assert_array_equal(ib, [0, 2])
+
+
+def test_umeyama_recovers_rigid_transform(rng):
+    src = rng.random((20, 2))
+    th = 0.7
+    r_true = np.array([[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]])
+    t_true = np.array([3.0, -1.0])
+    dst = (r_true @ src.T).T + t_true
+    r, t, s = umeyama_2d(src, dst)
+    np.testing.assert_allclose(r, r_true, atol=1e-9)
+    np.testing.assert_allclose(t, t_true, atol=1e-9)
+    assert s == 1.0
+
+
+def test_ate_rmse_zero_for_aligned(rng):
+    times = np.arange(10.0)
+    xy = rng.random((10, 2))
+    th = -0.4
+    r = np.array([[np.cos(th), -np.sin(th)], [np.sin(th), np.cos(th)]])
+    moved = (r @ xy.T).T + [5.0, 2.0]
+    assert ate_rmse(times, moved, times, xy) < 1e-9
+    assert ate_rmse(times, xy + [0.1, 0.0], times, xy, align=False) == pytest.approx(0.1)
+
+
+# ---------------------------------------------------------------------------
+# Checkpoint
+# ---------------------------------------------------------------------------
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from nislam_tpu.core.config import CFConfig, MapConfig, SlamConfig
+    from nislam_tpu.core.slam import make_engine
+    from nislam_tpu.io.checkpoint import load_state, save_state
+
+    cfg = SlamConfig(
+        cf=CFConfig(width=32, height=24, rotation_divisor=36, rotation_channel=16),
+        map=MapConfig(keyframe_capacity=4, edge_capacity=8),
+    )
+    engine = make_engine(cfg)
+    state = engine.init_state()
+    state, _ = engine.step(state, jnp.ones((24, 32), jnp.float32) * 0.5)
+    p = str(tmp_path / "state.npz")
+    save_state(p, state)
+    restored = load_state(p, engine.init_state())
+    assert int(restored.bank.count) == 1
+    np.testing.assert_allclose(
+        np.asarray(restored.track.last_fft), np.asarray(state.track.last_fft)
+    )
+
+    # structure mismatch → clear error
+    cfg2 = SlamConfig(
+        cf=CFConfig(width=32, height=24, rotation_divisor=36, rotation_channel=16),
+        map=MapConfig(keyframe_capacity=8, edge_capacity=8),
+    )
+    with pytest.raises(ValueError, match="shape"):
+        load_state(p, make_engine(cfg2).init_state())
+
+
+# ---------------------------------------------------------------------------
+# CLI end-to-end (subprocess — the real user surface)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.slow
+def test_cli_end_to_end(tmp_path):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ds = str(tmp_path / "ds")
+    r = subprocess.run(
+        [sys.executable, "-m", "nislam_tpu", "synth", "--out", ds,
+         "--frames", "60", "--height", "96", "--width", "128"],
+        capture_output=True, text=True, env=env, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr
+    r = subprocess.run(
+        [sys.executable, "-m", "nislam_tpu", "run",
+         "--config", f"{ds}/config.yaml",
+         "--groundtruth", f"{ds}/groundtruth.txt",
+         "--save-state", f"{ds}/state.npz"],
+        capture_output=True, text=True, env=env, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr
+    assert "ATE RMSE" in r.stdout
+    ate = float(r.stdout.split("ATE RMSE (optimized keyframes):")[1].split("m")[0])
+    assert ate < 0.05
+    assert os.path.exists(f"{ds}/saving/KCC_Keyframe.txt")
+    assert os.path.exists(f"{ds}/saving/optimized_keyframe.txt")
+    assert os.path.exists(f"{ds}/state.npz")
+    t, poses = read_tum(f"{ds}/saving/optimized_keyframe.txt")
+    assert len(t) > 5 and poses.shape[1] == 3
