@@ -1,0 +1,152 @@
+"""Benchmark: registered frames/s/chip on the flagship SLAM configuration.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+Baseline target (BASELINE.md): ≥500 registered frames/s/chip at
+reference-level ATE on a 640×480 sequence.  The workload is a synthetic
+square-loop ground-texture sequence (no external data in the image), run
+through the full jitted pipeline — undistort, KCC tracking, keyframe
+decisions, spatially-gated batched loop closure, pose-graph trigger — via
+the on-device ``lax.scan`` driver; ATE RMSE against ground truth is
+reported alongside to certify the frames are genuinely registered.
+
+Usage: python bench.py [--quick] [--frames N] [--chunk N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true", help="small config (CPU smoke)")
+    ap.add_argument("--frames", type=int, default=0)
+    ap.add_argument("--chunk", type=int, default=128)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from nislam_tpu.core.config import (
+        CFConfig,
+        CameraConfig,
+        KeyframeSelectionConfig,
+        LoopClosureConfig,
+        MapConfig,
+        SlamConfig,
+    )
+    from nislam_tpu.core.slam import make_engine
+    from nislam_tpu.io.trajectory import ate_rmse
+    from nislam_tpu.utils.synthetic import make_world, render_sequence, square_loop_path
+
+    dev = jax.devices()[0]
+    print(f"device: {dev.platform} {dev.device_kind}", file=sys.stderr)
+
+    if args.quick:
+        h, w, rd, rc = 120, 160, 180, 96
+        n_frames = args.frames or 128
+        world_n, step_px = 1024, 8.0
+        chunk = min(args.chunk, 64)
+    else:
+        h, w, rd, rc = 480, 640, 720, 480
+        n_frames = args.frames or 512
+        world_n, step_px = 4096, 12.0
+        chunk = args.chunk
+
+    fx = float(w)
+    px = 1.0 / fx  # metric pixel size (height 1 m)
+    config = SlamConfig(
+        cf=CFConfig(width=w, height=h, rotation_divisor=rd, rotation_channel=rc),
+        keyframe_selection=KeyframeSelectionConfig(
+            max_distance=2.0 * step_px * px,
+            max_angle=0.05236,
+            lower_response_thr=4.0,
+            upper_response_thr=6.0,
+        ),
+        map=MapConfig(
+            grid_scale=0.3 * h * px,
+            keyframe_capacity=max(256, n_frames // 2 + 16),
+            edge_capacity=2 * n_frames,
+            store_images=False,
+        ),
+        loop_closure=LoopClosureConfig(
+            to_find_loop=True,
+            position_response_thr=8.0,
+            angle_response_thr=8.0,
+            frame_gap_thr=30,
+            distance_thr=16 * step_px * px,
+            max_candidates=8,
+        ),
+        camera=CameraConfig(
+            image_width=w, image_height=h, height=1.0,
+            intrinsics=(fx, w / 2.0, fx, h / 2.0),
+        ),
+    )
+
+    t0 = time.time()
+    world = make_world(world_n, 3.0)
+    side = max(4, (n_frames - 9) // 4)
+    poses = square_loop_path(side, step=step_px, start=(world_n / 2.0, world_n / 2.0), tail=8)
+    poses = (poses * (n_frames // len(poses) + 1))[:n_frames]
+    frames = render_sequence(world, h, w, poses)
+    gt = np.array([(p[0] - world_n / 2.0, p[1] - world_n / 2.0) for p in poses]) * px
+    print(f"data gen: {time.time() - t0:.1f}s ({n_frames} frames {h}x{w})", file=sys.stderr)
+
+    engine = make_engine(config)
+    n_chunks = n_frames // chunk
+    frames_j = jnp.asarray(frames[: n_chunks * chunk]).reshape(n_chunks, chunk, h, w)
+
+    # Warmup: compile + one chunk.
+    t0 = time.time()
+    state = engine.init_state()
+    state, _ = engine.run_chunk(state, frames_j[0])
+    jax.block_until_ready(state.bank.count)
+    print(f"compile+first chunk: {time.time() - t0:.1f}s", file=sys.stderr)
+
+    # Timed run over the whole sequence, fresh state.
+    state = engine.init_state()
+    outs_all = []
+    t0 = time.time()
+    for i in range(n_chunks):
+        state, outs = engine.run_chunk(state, frames_j[i])
+        outs_all.append(outs)
+    jax.block_until_ready(state.bank.count)
+    dt = time.time() - t0
+    fps = (n_chunks * chunk) / dt
+
+    outs = jax.tree.map(lambda *xs: np.concatenate([np.asarray(x) for x in xs]), *outs_all)
+    state, _ = engine.finalize(state)
+    tracked = int(outs.tracked.sum())
+    n_kf = int(state.bank.count)
+    times = np.arange(len(outs.pose)) / 30.0
+    try:
+        ate = ate_rmse(times, outs.pose[:, :2], times, gt[: len(outs.pose)])
+    except ValueError:
+        ate = float("nan")
+    print(
+        f"{n_chunks * chunk} frames in {dt:.2f}s | tracked {tracked} | "
+        f"keyframes {n_kf} | loops {int(outs.loop_found.sum())} | ate {ate:.4f} m",
+        file=sys.stderr,
+    )
+
+    result = {
+        "metric": "registered_frames_per_sec_per_chip",
+        "value": round(fps, 1),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / 500.0, 3),
+        "ate_rmse_m": round(ate, 4) if ate == ate else None,
+        "tracked_frac": round(tracked / (n_chunks * chunk), 3),
+        "device": f"{dev.platform}:{dev.device_kind}",
+        "image": f"{h}x{w}",
+    }
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

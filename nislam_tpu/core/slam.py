@@ -293,8 +293,18 @@ def slam_step(
     config: SlamConfig,
     cf_ops: CFOps,
     camera: CameraOps,
+    defer_optimize: bool = False,
 ) -> Tuple[SlamState, StepOutput]:
-    """Process one grayscale frame (f32 in [0, 1], shape (H, W))."""
+    """Process one grayscale frame (f32 in [0, 1], shape (H, W)).
+
+    ``defer_optimize`` (static) removes the in-sequence pose-graph trigger:
+    pending loop matches accumulate and are flushed once by ``finalize``.
+    Required under ``vmap`` (batched multi-sequence mode, ``nislam_tpu.
+    parallel``) where a batched ``lax.cond`` would execute the LM solve on
+    every frame for every lane; also never discards single matches, unlike
+    the reference's clear-on-<2 behavior (map_builder.cc:114-115) — a
+    documented deviation of batch mode.
+    """
     kfs = config.keyframe_selection
     lc_cfg = config.loop_closure
 
@@ -459,15 +469,19 @@ def slam_step(
         state = dataclasses.replace(state, pending=pending)
 
         # --- Optimize trigger: keyframe inserted, no loop found ----------
-        def maybe_opt(st):
-            return _flush_pending_loops(st, config, camera)
+        if defer_optimize:
+            optimized = jnp.asarray(False)
+        else:
 
-        state, optimized = jax.lax.cond(
-            jnp.logical_and(stored, ~loop_found),
-            maybe_opt,
-            lambda st: (st, jnp.asarray(False)),
-            state,
-        )
+            def maybe_opt(st):
+                return _flush_pending_loops(st, config, camera)
+
+            state, optimized = jax.lax.cond(
+                jnp.logical_and(stored, ~loop_found),
+                maybe_opt,
+                lambda st: (st, jnp.asarray(False)),
+                state,
+            )
 
         # UpdateValueAfterLoop (map_builder.cc:275-279): re-derive the chain
         # from the optimized pose when the solver ran.

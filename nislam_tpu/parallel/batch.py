@@ -1,0 +1,119 @@
+"""Data-parallel multi-sequence SLAM: vmap over sequences, shard over a mesh.
+
+BASELINE config 4 (ICL-NUIM multi-sequence batch): B independent sequences
+run as one program — the per-frame step is ``vmap``-ped over the batch and
+the batch dimension is sharded over the mesh's ``data`` axis, so every chip
+tracks its own subset of sequences with zero cross-chip traffic in the front
+end (embarrassing parallelism, exactly as SURVEY §2.3 prescribes).
+
+Batch mode runs with ``defer_optimize=True``: pose graphs are solved once
+per sequence at :meth:`BatchSlamEngine.finalize` with a vmapped LM solve (a
+batched dense Cholesky — MXU-friendly), instead of mid-sequence triggers
+(see the note on ``slam_step``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from nislam_tpu.core.camera import make_camera_ops
+from nislam_tpu.core.config import SlamConfig
+from nislam_tpu.core.slam import (
+    SlamState,
+    StepOutput,
+    check_and_optimize_final,
+    init_state,
+    slam_step,
+)
+from nislam_tpu.ops.registration import make_cf_ops
+
+
+@dataclasses.dataclass(frozen=True)
+class BatchSlamEngine:
+    """B sequences in lockstep; state pytrees carry a leading (B,) axis."""
+
+    config: SlamConfig
+    batch: int
+    mesh: Optional[Mesh] = None
+
+    @functools.cached_property
+    def _cf_ops(self):
+        return make_cf_ops(self.config.cf)
+
+    @functools.cached_property
+    def _camera(self):
+        return make_camera_ops(self.config.camera)
+
+    @functools.cached_property
+    def _state_sharding(self):
+        if self.mesh is None:
+            return None
+        return NamedSharding(self.mesh, P("data"))
+
+    def init_states(self) -> SlamState:
+        one = init_state(self.config, self._cf_ops)
+        states = jax.tree.map(
+            lambda x: jnp.broadcast_to(x[None], (self.batch,) + x.shape), one
+        )
+        if self._state_sharding is not None:
+            states = jax.device_put(states, self._state_sharding)
+        return states
+
+    @functools.cached_property
+    def run_chunk(self):
+        """(states[B], images[B, N, H, W]) → (states, outputs[B, N])."""
+        step = functools.partial(
+            slam_step,
+            config=self.config,
+            cf_ops=self._cf_ops,
+            camera=self._camera,
+            defer_optimize=True,
+        )
+        vstep = jax.vmap(step)
+
+        def run(states: SlamState, images: jnp.ndarray):
+            # scan over time; batch axis stays leading on every carry leaf so
+            # the "data" sharding propagates untouched through the scan.
+            def body(st, img_t):
+                return vstep(st, img_t)
+
+            states, outs = jax.lax.scan(body, states, jnp.swapaxes(images, 0, 1))
+            outs = jax.tree.map(lambda x: jnp.swapaxes(x, 0, 1), outs)
+            return states, outs
+
+        if self.mesh is None:
+            return jax.jit(run, donate_argnums=0)
+        # A single NamedSharding acts as a pytree prefix: every state leaf is
+        # sharded on its leading (batch) axis over "data".
+        sh = self._state_sharding
+        return jax.jit(
+            run, donate_argnums=0, in_shardings=(sh, sh), out_shardings=(sh, sh)
+        )
+
+    @functools.cached_property
+    def finalize(self):
+        """Vmapped end-of-sequence pose-graph solve (batched Cholesky)."""
+        fn = functools.partial(
+            check_and_optimize_final, config=self.config, camera=self._camera
+        )
+        vfn = jax.vmap(fn)
+        if self.mesh is None:
+            return jax.jit(vfn, donate_argnums=0)
+        sh = self._state_sharding
+        return jax.jit(vfn, donate_argnums=0, in_shardings=(sh,), out_shardings=(sh, sh))
+
+
+def make_batch_engine(
+    config: SlamConfig, batch: int, mesh: Optional[Mesh] = None
+) -> BatchSlamEngine:
+    if mesh is not None and batch % mesh.shape["data"] != 0:
+        raise ValueError(
+            f"batch {batch} not divisible by data axis {mesh.shape['data']}"
+        )
+    return BatchSlamEngine(config=config, batch=batch, mesh=mesh)

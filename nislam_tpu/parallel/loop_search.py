@@ -1,0 +1,134 @@
+"""Distributed loop-closure search over a device-sharded keyframe bank.
+
+BASELINE config 5: the keyframe-spectrum store grows with trajectory length
+(the framework's "sequence length" — SURVEY §5), so it block-shards across
+the mesh's ``bank`` axis.  The search is structurally a blockwise attention
+pass: Q = the current frame's spectra (replicated), K/V = the sharded bank;
+each device registers the query against its local candidate block with one
+batched KCC ``compute_pose``, reduces to a local best, and one
+``all_gather`` of the (nshards, ·) reductions picks the global winner —
+compute scales 1/N per device, communication is O(nshards), not O(K).
+
+Gating semantics are identical to the single-chip search
+(``nislam_tpu.core.loop_closure``, mirroring /root/reference/src/
+loop_closure.cc): spatial 3×3 neighborhood ∧ frame-gap ∧ travel-distance,
+winner by total response, threshold acceptance.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from nislam_tpu.core.config import LoopClosureConfig
+from nislam_tpu.core.loop_closure import LoopResult, _gating_mask
+from nislam_tpu.core.map_store import KeyframeBank, grid_location
+from nislam_tpu.ops.registration import CFOps, compute_pose
+
+
+def find_loop_closure_sharded(
+    bank: KeyframeBank,
+    image: jnp.ndarray,
+    cur_polar_fft: jnp.ndarray,
+    cur_frame_id: jnp.ndarray,
+    cur_distance: jnp.ndarray,
+    prior_pose: jnp.ndarray,
+    cf_ops: CFOps,
+    cfg: LoopClosureConfig,
+    grid_scale: float,
+    mesh: Mesh,
+    axis: str = "bank",
+) -> LoopResult:
+    """Sharded-bank loop search; bank arrays sharded on slot axis over
+    ``axis``, everything else replicated.  ``max_candidates`` applies per
+    shard (local block cap)."""
+    nshards = mesh.shape[axis]
+    k = bank.capacity
+    if k % nshards:
+        raise ValueError(f"bank capacity {k} not divisible by {nshards} shards")
+    local_k = k // nshards
+    c = min(cfg.max_candidates, local_k)
+
+    def local_search(
+        fft, polar_fft, poses_grid, frame_ids, distances, count,
+        image, cur_polar, cur_fid, cur_dist, prior,
+    ):
+        shard = jax.lax.axis_index(axis)
+        base = shard * local_k
+        global_slots = base + jnp.arange(local_k)
+        valid = global_slots < count
+
+        cur_cell = grid_location(prior[:2], grid_scale)
+        near = jnp.all(jnp.abs(poses_grid - cur_cell[None, :]) <= 1, axis=-1)
+
+        class _B:  # duck-typed view for _gating_mask
+            pass
+
+        b = _B()
+        b.frame_ids = frame_ids
+        b.distances = distances
+        eligible = _gating_mask(b, cur_fid, cur_dist, jnp.logical_and(near, valid), cfg)
+
+        _, picked_idx = jax.lax.top_k(eligible.astype(jnp.float32), c)
+        picked = eligible[picked_idx]
+        pose, info = compute_pose(
+            fft[picked_idx],
+            image[None],
+            polar_fft[picked_idx],
+            cur_polar[None],
+            cf_ops,
+            large_rotation=True,
+        )
+        total = jnp.where(picked, info.sum(axis=-1), -jnp.inf)
+        best = jnp.argmax(total)
+        # Per-shard winner record; the cross-shard argmax happens outside the
+        # shard_map on the (nshards,) gathered reductions.
+        return (
+            total[best][None],
+            (base + picked_idx[best])[None],
+            pose[best][None],
+            info[best][None],
+            jnp.any(picked)[None],
+        )
+
+    shmap = jax.shard_map(
+        local_search,
+        mesh=mesh,
+        in_specs=(
+            P(axis), P(axis), P(axis), P(axis), P(axis), P(),
+            P(), P(), P(), P(), P(),
+        ),
+        out_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
+    )
+    scores, slots, poses_g, infos, anys = shmap(
+        bank.fft,
+        bank.polar_fft,
+        bank.grid_xy,
+        bank.frame_ids,
+        bank.distances,
+        bank.count,
+        image,
+        cur_polar_fft,
+        cur_frame_id,
+        cur_distance,
+        prior_pose,
+    )
+    w = jnp.argmax(jnp.where(anys, scores, -jnp.inf))
+    any_any = jnp.any(anys)
+    best_info = infos[w]
+    found = jnp.logical_and(
+        any_any,
+        jnp.logical_and(
+            best_info[0] > cfg.position_response_thr,
+            best_info[2] > cfg.angle_response_thr,
+        ),
+    )
+    return LoopResult(
+        found=found,
+        loop_slot=slots[w],
+        relative_pose=poses_g[w],
+        response=jnp.where(any_any, best_info, -jnp.inf),
+    )

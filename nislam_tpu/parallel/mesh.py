@@ -1,0 +1,47 @@
+"""Device mesh helpers.
+
+The TPU-native "communication backend": meshes + NamedSharding over ICI/DCN
+with XLA collectives, replacing nothing in the reference (it has no
+distributed layer, SURVEY §2.3) but required by the BASELINE scaling
+configs.  Axis convention:
+
+- ``data`` — batch of independent sequences (pure data parallelism),
+- ``bank`` — keyframe-bank slots (model parallelism for loop search and
+  edge-sharded pose-graph assembly).
+
+Multi-host: call ``jax.distributed.initialize()`` before ``make_mesh``;
+``jax.devices()`` then spans hosts and the same axis spec shards over DCN.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P  # noqa: F401
+
+
+def make_mesh(
+    axes: Optional[dict] = None, *, devices: Optional[Sequence] = None
+) -> Mesh:
+    """Build a mesh from ``{axis_name: size}``; sizes must multiply to the
+    device count (one axis may be −1 to infer)."""
+    devices = list(devices if devices is not None else jax.devices())
+    if not axes:
+        axes = {"data": len(devices)}
+    names = list(axes.keys())
+    sizes = list(axes.values())
+    if -1 in sizes:
+        known = int(np.prod([s for s in sizes if s != -1]))
+        sizes[sizes.index(-1)] = len(devices) // known
+    total = int(np.prod(sizes))
+    if total != len(devices):
+        raise ValueError(f"mesh {dict(zip(names, sizes))} != {len(devices)} devices")
+    arr = np.asarray(devices).reshape(sizes)
+    return Mesh(arr, tuple(names))
+
+
+def data_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
+    """Shard the leading (batch) dimension over ``axis``, replicate the rest."""
+    return NamedSharding(mesh, P(axis))

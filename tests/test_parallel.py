@@ -1,0 +1,186 @@
+"""Multi-device tests on the 8-virtual-device CPU mesh (SURVEY §4d).
+
+Every test checks a sharded/distributed component against its single-device
+equivalent — the correctness contract for scaling (BASELINE configs 4-5).
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from nislam_tpu.core.config import (
+    CFConfig,
+    CameraConfig,
+    KeyframeSelectionConfig,
+    LoopClosureConfig,
+    MapConfig,
+    SlamConfig,
+)
+from nislam_tpu.core.loop_closure import find_loop_closure
+from nislam_tpu.core.pose_graph import PoseGraphProblem, solve_pose_graph
+from nislam_tpu.core.slam import make_engine
+from nislam_tpu.parallel.batch import make_batch_engine
+from nislam_tpu.parallel.loop_search import find_loop_closure_sharded
+from nislam_tpu.parallel.mesh import make_mesh
+from nislam_tpu.parallel.solver import CGSolverConfig, solve_pose_graph_cg
+from nislam_tpu.utils.synthetic import make_world, render_sequence, straight_path
+
+H, W = 64, 96
+
+pytestmark = pytest.mark.multidevice
+
+
+def _config(**kw):
+    base = dict(
+        cf=CFConfig(width=W, height=H, rotation_divisor=90, rotation_channel=48),
+        keyframe_selection=KeyframeSelectionConfig(
+            max_distance=0.08, max_angle=0.05,
+            lower_response_thr=4.0, upper_response_thr=6.0,
+        ),
+        map=MapConfig(grid_scale=0.15, keyframe_capacity=64, edge_capacity=256),
+        loop_closure=LoopClosureConfig(to_find_loop=False, max_candidates=8),
+        camera=CameraConfig(
+            image_width=W, image_height=H, height=1.0,
+            intrinsics=(100.0, W / 2.0, 100.0, H / 2.0),
+        ),
+    )
+    base.update(kw)
+    return SlamConfig(**base)
+
+
+def test_eight_virtual_devices():
+    assert jax.device_count() == 8
+
+
+def test_batch_engine_matches_single(rng):
+    """B=8 sequences sharded over data=8 == 8 independent single runs."""
+    mesh = make_mesh({"data": 8})
+    cfg = _config()
+    batch_engine = make_batch_engine(cfg, batch=8, mesh=mesh)
+
+    worlds = [make_world(512, 3.0, seed=i) for i in range(8)]
+    n = 16
+    seqs = np.stack(
+        [
+            render_sequence(w, H, W, straight_path(n, step=5.0, start=(256.0, 256.0)))
+            for w in worlds
+        ]
+    )  # (8, n, H, W)
+
+    states = batch_engine.init_states()
+    states, outs = batch_engine.run_chunk(states, jnp.asarray(seqs))
+    outs = jax.tree.map(np.asarray, outs)
+
+    # Reference: unbatched engine per sequence (defer_optimize irrelevant
+    # with loops off).
+    single = make_engine(cfg)
+    for b in [0, 3, 7]:
+        st = single.init_state()
+        st, souts = single.run_chunk(st, jnp.asarray(seqs[b]))
+        souts = jax.tree.map(np.asarray, souts)
+        np.testing.assert_allclose(outs.pose[b], souts.pose, atol=1e-4)
+        np.testing.assert_array_equal(outs.inserted[b], souts.inserted)
+    # Sharding actually happened.
+    assert states.bank.poses.sharding.spec[0] == "data"
+
+
+def test_sharded_loop_search_matches_single(rng):
+    """Bank sharded over 8 devices returns the single-device result."""
+    mesh = make_mesh({"bank": 8})
+    cfg = _config(loop_closure=LoopClosureConfig(
+        to_find_loop=True, position_response_thr=8.0, angle_response_thr=8.0,
+        frame_gap_thr=5, distance_thr=0.2, max_candidates=8,
+    ))
+    engine = make_engine(cfg)
+    world = make_world(512, 3.0)
+    # Out-and-back path → revisits with large frame gap.
+    path = straight_path(20, step=5.0, start=(256.0, 256.0))
+    path += path[::-1]
+    frames = render_sequence(world, H, W, path)
+    state = engine.init_state()
+    state, outs = engine.run_chunk(state, jnp.asarray(frames))
+
+    bank = state.bank
+    img = jnp.asarray(frames[-1])
+    from nislam_tpu.ops.registration import compute_intermedium
+
+    _, polar = compute_intermedium(img, engine.cf_ops)
+    fid = jnp.asarray(int(state.track.next_frame_id), jnp.int32)
+    dist = state.track.distance
+    prior = state.track.last_pose
+    lc_cfg = cfg.loop_closure
+
+    ref = find_loop_closure(
+        bank, img, polar, fid, dist, prior, engine.cf_ops, lc_cfg, cfg.map.grid_scale
+    )
+    got = find_loop_closure_sharded(
+        bank, img, polar, fid, dist, prior, engine.cf_ops, lc_cfg,
+        cfg.map.grid_scale, mesh,
+    )
+    assert bool(got.found) == bool(ref.found)
+    if bool(ref.found):
+        assert int(got.loop_slot) == int(ref.loop_slot)
+        np.testing.assert_allclose(
+            np.asarray(got.relative_pose), np.asarray(ref.relative_pose), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(got.response), np.asarray(ref.response), rtol=1e-5
+        )
+
+
+def _chain_problem(rng, k=24, cap=32, ecap=64):
+    from nislam_tpu.core.se2 import absolute_pose, relative_pose
+
+    gt = np.zeros((k, 3))
+    for i in range(1, k):
+        step = np.array([0.5, 0.1 * rng.standard_normal(), 0.1 * rng.standard_normal()])
+        gt[i] = np.asarray(absolute_pose(jnp.asarray(gt[i - 1]), jnp.asarray(step)))
+    fr, to, ts = [], [], []
+    for i in range(1, k):
+        rel = np.array(relative_pose(jnp.asarray(gt[i - 1]), jnp.asarray(gt[i])))
+        rel[:2] += 0.02 * rng.standard_normal(2)
+        fr.append(i - 1)
+        to.append(i)
+        ts.append(rel)
+    fr.append(0)
+    to.append(k - 1)
+    ts.append(np.array(relative_pose(jnp.asarray(gt[0]), jnp.asarray(gt[k - 1]))))
+    e = len(ts)
+    init = np.zeros((cap, 3), np.float32)
+    for i in range(1, k):
+        init[i] = np.asarray(absolute_pose(jnp.asarray(init[i - 1]), jnp.asarray(ts[i - 1])))
+    T = np.zeros((ecap, 3), np.float32)
+    T[:e] = ts
+    f_ = np.zeros(ecap, np.int32)
+    t_ = np.zeros(ecap, np.int32)
+    f_[:e] = fr
+    t_[:e] = to
+    return PoseGraphProblem(
+        poses=jnp.asarray(init),
+        pose_mask=jnp.arange(cap) < k,
+        from_slot=jnp.asarray(f_),
+        to_slot=jnp.asarray(t_),
+        T=jnp.asarray(T),
+        sqrt_info=jnp.broadcast_to(jnp.eye(3), (ecap, 3, 3)),
+        edge_mask=jnp.arange(ecap) < e,
+    )
+
+
+def test_distributed_cg_matches_dense(rng):
+    mesh = make_mesh({"bank": 8})
+    prob = _chain_problem(rng)
+    dense_poses, _, dense_cost = solve_pose_graph(prob)
+    cg_poses, cg_cost = solve_pose_graph_cg(
+        prob, mesh, cfg=CGSolverConfig(outer_iterations=30, cg_iterations=100)
+    )
+    assert float(cg_cost) <= float(dense_cost) * 1.05 + 1e-6
+    np.testing.assert_allclose(
+        np.asarray(cg_poses[:24]), np.asarray(dense_poses[:24]), atol=2e-3
+    )
+    # base pinned + dead slots untouched
+    np.testing.assert_allclose(np.asarray(cg_poses[0]), np.asarray(prob.poses[0]), atol=1e-7)
+    np.testing.assert_array_equal(np.asarray(cg_poses[24:]), np.asarray(prob.poses[24:]))
