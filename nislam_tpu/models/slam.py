@@ -1,0 +1,75 @@
+"""Full SLAM model: tracking + loop closure + pose graph + map stitching.
+
+The complete system of the reference (MapBuilder + LoopClosure +
+optimization_2d + MapStitcher, BASELINE config 3) behind one object, with
+the occupancy mosaic produced on demand from the keyframe bank.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from nislam_tpu.core.config import SlamConfig
+from nislam_tpu.core.slam import SlamEngine, SlamState, StepOutput, make_engine
+from nislam_tpu.core.stitcher import (
+    StitchCanvas,
+    make_canvas,
+    map_resolution,
+    occupancy_grid,
+    occupancy_origin,
+    recompute,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class FullSlam:
+    config: SlamConfig
+
+    def __post_init__(self):
+        object.__setattr__(self, "_engine", make_engine(self.config))
+
+    @property
+    def engine(self) -> SlamEngine:
+        return self._engine
+
+    def init_state(self) -> SlamState:
+        return self._engine.init_state()
+
+    def step(self, state: SlamState, image) -> Tuple[SlamState, StepOutput]:
+        return self._engine.step(state, image)
+
+    def run(self, images, state: Optional[SlamState] = None):
+        """Process an (N, H, W) sequence + final optimize; returns
+        (state, outputs, final_optimize_ran)."""
+        if state is None:
+            state = self._engine.init_state()
+        state, outs = self._engine.run_chunk(state, jnp.asarray(images))
+        state, ran = self._engine.finalize(state)
+        return state, outs, ran
+
+    # -- mapping (MapStitcher + occupancy export) -------------------------
+    def stitch(self, state: SlamState) -> StitchCanvas:
+        if not self.config.map_stitcher.stitch_map:
+            raise ValueError("map_stitcher.stitch_map is disabled in config")
+        return recompute(
+            make_canvas(self.config.map_stitcher), state.bank, self._engine.camera
+        )
+
+    def occupancy(self, state: SlamState):
+        """(grid int8, origin_xy (2,), resolution) — the OccupancyGrid
+        triple of /root/reference/src/visualization.cc:131-150."""
+        canvas = self.stitch(state)
+        return (
+            np.asarray(occupancy_grid(canvas)),
+            np.asarray(occupancy_origin(self._engine.camera, canvas)),
+            float(map_resolution(self._engine.camera)),
+        )
+
+    def keyframe_poses(self, state: SlamState) -> np.ndarray:
+        """(K, 3) optimized keyframe poses (GetFramePoses)."""
+        k = int(state.bank.count)
+        return np.asarray(state.bank.poses[:k])

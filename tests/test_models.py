@@ -1,0 +1,95 @@
+"""Model-family API tests (registration / VO / full SLAM)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from nislam_tpu.core.config import (
+    CFConfig,
+    CameraConfig,
+    KeyframeSelectionConfig,
+    LoopClosureConfig,
+    MapConfig,
+    MapStitcherConfig,
+    SlamConfig,
+)
+from nislam_tpu.models import FullSlam, KCCRegistration, VisualOdometry
+from nislam_tpu.utils.synthetic import make_world, render_sequence, square_loop_path, straight_path
+
+H, W = 96, 128
+
+
+@pytest.fixture(scope="module")
+def world():
+    return make_world(1024, 3.0)
+
+
+def _config():
+    return SlamConfig(
+        cf=CFConfig(width=W, height=H, rotation_divisor=180, rotation_channel=96),
+        keyframe_selection=KeyframeSelectionConfig(
+            max_distance=0.10, max_angle=0.05,
+            lower_response_thr=4.0, upper_response_thr=6.0,
+        ),
+        map=MapConfig(grid_scale=0.15, keyframe_capacity=128, edge_capacity=512),
+        loop_closure=LoopClosureConfig(
+            to_find_loop=True, position_response_thr=8.0, angle_response_thr=8.0,
+            frame_gap_thr=30, distance_thr=1.0, max_candidates=8,
+        ),
+        map_stitcher=MapStitcherConfig(canvas_size=1024),
+        camera=CameraConfig(
+            image_width=W, image_height=H, height=1.0,
+            intrinsics=(100.0, W / 2.0, 100.0, H / 2.0),
+        ),
+    )
+
+
+def test_registration_model(world, rng):
+    model = KCCRegistration(
+        CFConfig(width=W, height=H, rotation_divisor=180, rotation_channel=96)
+    )
+    a = render_sequence(world, H, W, [(512.0, 512.0, 0.0)])[0]
+    b = render_sequence(world, H, W, [(522.0, 505.0, 0.0)])[0]
+    pose, resp = model.register(jnp.asarray(a), jnp.asarray(b))
+    # Camera moved (+10, −7) px; content shifts the opposite way and the
+    # estimator's sign convention (pose = −(peak−center), x/y swapped —
+    # correlation_flow.cc:136-138) reports the camera motion directly.
+    np.testing.assert_allclose(np.asarray(pose[:2]), [10.0, -7.0], atol=1.5)
+    assert float(resp[0]) > 8.0
+
+    refs = jnp.asarray(np.stack([a, a]))
+    curs = jnp.asarray(np.stack([b, a]))
+    poses, resps = model.register_batch(refs, curs)
+    assert poses.shape == (2, 3)
+    np.testing.assert_allclose(np.asarray(poses[1][:2]), [0.0, 0.0], atol=0.5)
+
+
+def test_vo_model(world):
+    vo = VisualOdometry(_config())
+    frames = render_sequence(world, H, W, straight_path(20, step=6.0))
+    state, outs = vo.run(jnp.asarray(frames))
+    traj = vo.trajectory(outs)
+    assert traj.shape == (20, 3)
+    np.testing.assert_allclose(traj[-1, 0], 19 * 6.0 * 0.01, atol=0.02)
+    # Loop closure really off.
+    assert not vo.engine.config.loop_closure.to_find_loop
+
+
+def test_full_slam_model(world):
+    slam = FullSlam(_config())
+    frames = render_sequence(
+        world, H, W, square_loop_path(side_steps=20, step=5.7, tail=6)
+    )
+    state, outs, ran = slam.run(jnp.asarray(frames))
+    assert int(np.asarray(outs.loop_found).sum()) >= 1
+    kf = slam.keyframe_poses(state)
+    assert kf.shape[0] == int(state.bank.count) > 10
+
+    grid, origin, res = slam.occupancy(state)
+    assert grid.shape == (1024, 1024)
+    assert res == pytest.approx(0.01)
+    # Canvas center was visited → known; far corner unseen.
+    assert grid[512, 512] >= 0
+    assert grid[5, 5] == -1
+    np.testing.assert_allclose(origin, [-5.12, -5.12], atol=1e-5)
