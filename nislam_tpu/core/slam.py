@@ -118,38 +118,49 @@ class SlamEngine:
     def init_state(self) -> SlamState:
         return init_state(self.config, self.cf_ops)
 
+    # NB: cf_ops/camera are passed as jit *arguments* (they are registered
+    # pytrees), never closure-captured — closure capture would embed their
+    # device arrays as HLO constants via a device→host copy, which some
+    # backends (e.g. tunneled TPU) do not support, and bloats the program.
+
     @functools.cached_property
     def step(self):
         """``(SlamState, image_f32[H,W]) -> (SlamState, StepOutput)`` jitted
         with the state donated (in-place HBM update)."""
-        fn = functools.partial(
-            slam_step, config=self.config, cf_ops=self.cf_ops, camera=self.camera
-        )
-        return jax.jit(fn, donate_argnums=0)
+        config = self.config
+
+        @functools.partial(jax.jit, donate_argnums=0)
+        def fn(state, image, cf_ops, camera):
+            return slam_step(state, image, config=config, cf_ops=cf_ops, camera=camera)
+
+        return lambda state, image: fn(state, image, self.cf_ops, self.camera)
 
     @functools.cached_property
     def run_chunk(self):
         """``(SlamState, images[N,H,W]) -> (SlamState, StepOutput[N])`` — an
         on-device ``lax.scan`` over a chunk of frames."""
-        fn = functools.partial(
-            slam_step, config=self.config, cf_ops=self.cf_ops, camera=self.camera
-        )
+        config = self.config
 
-        def run(state, images):
-            return jax.lax.scan(fn, state, images)
+        @functools.partial(jax.jit, donate_argnums=0)
+        def run(state, images, cf_ops, camera):
+            def body(st, img):
+                return slam_step(st, img, config=config, cf_ops=cf_ops, camera=camera)
 
-        return jax.jit(run, donate_argnums=0)
+            return jax.lax.scan(body, state, images)
+
+        return lambda state, images: run(state, images, self.cf_ops, self.camera)
 
     @functools.cached_property
     def finalize(self):
         """End-of-sequence optimize (main.cpp:68-69 fires ``CheckAndOptimize``
         on the last frame)."""
-        fn = functools.partial(
-            check_and_optimize_final,
-            config=self.config,
-            camera=self.camera,
-        )
-        return jax.jit(fn, donate_argnums=0)
+        config = self.config
+
+        @functools.partial(jax.jit, donate_argnums=0)
+        def fn(state, camera):
+            return check_and_optimize_final(state, config=config, camera=camera)
+
+        return lambda state: fn(state, self.camera)
 
 
 def make_engine(config: SlamConfig) -> SlamEngine:

@@ -37,10 +37,9 @@ class KCCRegistration:
 
     @functools.cached_property
     def _register(self):
-        ops = self.ops  # materialize outside the trace (concrete arrays)
-
+        # ops is a jit argument, not a closure constant (see SlamEngine note).
         @functools.partial(jax.jit, static_argnames=("large_rotation",))
-        def fn(ref: jnp.ndarray, cur: jnp.ndarray, large_rotation: bool = False):
+        def fn(ref, cur, ops, large_rotation: bool = False):
             ref_fft, ref_polar = compute_intermedium(ref, ops)
             _, cur_polar = compute_intermedium(cur, ops)
             return compute_pose(
@@ -48,7 +47,9 @@ class KCCRegistration:
                 large_rotation=large_rotation,
             )
 
-        return fn
+        return lambda ref, cur, large_rotation=False: fn(
+            ref, cur, self.ops, large_rotation=large_rotation
+        )
 
     def register(
         self, reference: jnp.ndarray, current: jnp.ndarray, *,
@@ -66,10 +67,8 @@ class KCCRegistration:
 
     @functools.cached_property
     def _register_batch(self):
-        ops = self.ops
-
         @functools.partial(jax.jit, static_argnames=("large_rotation",))
-        def fn(refs, curs, large_rotation: bool = False):
+        def fn(refs, curs, ops, large_rotation: bool = False):
             ref_fft, ref_polar = compute_intermedium(refs, ops)
             _, cur_polar = compute_intermedium(curs, ops)
             return compute_pose(
@@ -77,7 +76,9 @@ class KCCRegistration:
                 large_rotation=large_rotation,
             )
 
-        return fn
+        return lambda refs, curs, large_rotation=False: fn(
+            refs, curs, self.ops, large_rotation=large_rotation
+        )
 
     def register_batch(
         self, references: jnp.ndarray, currents: jnp.ndarray, *,

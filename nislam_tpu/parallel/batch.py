@@ -67,17 +67,23 @@ class BatchSlamEngine:
 
     @functools.cached_property
     def run_chunk(self):
-        """(states[B], images[B, N, H, W]) → (states, outputs[B, N])."""
-        step = functools.partial(
-            slam_step,
-            config=self.config,
-            cf_ops=self._cf_ops,
-            camera=self._camera,
-            defer_optimize=True,
-        )
-        vstep = jax.vmap(step)
+        """(states[B], images[B, N, H, W]) → (states, outputs[B, N]).
 
-        def run(states: SlamState, images: jnp.ndarray):
+        cf_ops/camera travel as jit arguments (replicated), not closure
+        constants — see the note on ``SlamEngine``.
+        """
+        config = self.config
+
+        def run(states: SlamState, images: jnp.ndarray, cf_ops, camera):
+            step = functools.partial(
+                slam_step,
+                config=config,
+                cf_ops=cf_ops,
+                camera=camera,
+                defer_optimize=True,
+            )
+            vstep = jax.vmap(step, in_axes=(0, 0))
+
             # scan over time; batch axis stays leading on every carry leaf so
             # the "data" sharding propagates untouched through the scan.
             def body(st, img_t):
@@ -88,25 +94,42 @@ class BatchSlamEngine:
             return states, outs
 
         if self.mesh is None:
-            return jax.jit(run, donate_argnums=0)
-        # A single NamedSharding acts as a pytree prefix: every state leaf is
-        # sharded on its leading (batch) axis over "data".
-        sh = self._state_sharding
-        return jax.jit(
-            run, donate_argnums=0, in_shardings=(sh, sh), out_shardings=(sh, sh)
-        )
+            jfn = jax.jit(run, donate_argnums=0)
+        else:
+            # A single NamedSharding acts as a pytree prefix: every state
+            # leaf is sharded on its leading (batch) axis over "data";
+            # cf_ops/camera replicate.
+            sh = self._state_sharding
+            rep = NamedSharding(self.mesh, P())
+            jfn = jax.jit(
+                run,
+                donate_argnums=0,
+                in_shardings=(sh, sh, rep, rep),
+                out_shardings=(sh, sh),
+            )
+        return lambda states, images: jfn(states, images, self._cf_ops, self._camera)
 
     @functools.cached_property
     def finalize(self):
         """Vmapped end-of-sequence pose-graph solve (batched Cholesky)."""
-        fn = functools.partial(
-            check_and_optimize_final, config=self.config, camera=self._camera
-        )
-        vfn = jax.vmap(fn)
+        config = self.config
+
+        def fn(states, camera):
+            return jax.vmap(
+                functools.partial(
+                    check_and_optimize_final, config=config, camera=camera
+                )
+            )(states)
+
         if self.mesh is None:
-            return jax.jit(vfn, donate_argnums=0)
-        sh = self._state_sharding
-        return jax.jit(vfn, donate_argnums=0, in_shardings=(sh,), out_shardings=(sh, sh))
+            jfn = jax.jit(fn, donate_argnums=0)
+        else:
+            sh = self._state_sharding
+            rep = NamedSharding(self.mesh, P())
+            jfn = jax.jit(
+                fn, donate_argnums=0, in_shardings=(sh, rep), out_shardings=(sh, sh)
+            )
+        return lambda states: jfn(states, self._camera)
 
 
 def make_batch_engine(

@@ -12,10 +12,11 @@ from __future__ import annotations
 import math
 from typing import List, Sequence, Tuple
 
-import jax.numpy as jnp
 import numpy as np
 
-from nislam_tpu.ops.warp import bilinear_sample
+# Pure NumPy on purpose: rendering is host-side test/bench data generation.
+# Dispatching it as eager device ops is pathological on tunneled backends
+# (one RPC round-trip per primitive), so no jax imports here.
 
 
 def make_world(n: int = 1024, sigma: float = 3.0, seed: int = 42) -> np.ndarray:
@@ -37,24 +38,39 @@ def make_world(n: int = 1024, sigma: float = 3.0, seed: int = 42) -> np.ndarray:
 
 
 def render_frame(
-    world: jnp.ndarray, h: int, w: int, px: float, py: float, theta: float
-) -> jnp.ndarray:
+    world: np.ndarray, h: int, w: int, px: float, py: float, theta: float
+) -> np.ndarray:
     """Render an (h, w) downward-camera view at world-pixel pose
-    (px, py, theta), periodic world."""
-    xs = jnp.arange(w, dtype=jnp.float32) - w / 2.0
-    ys = jnp.arange(h, dtype=jnp.float32) - h / 2.0
-    xg, yg = jnp.meshgrid(xs, ys)
+    (px, py, theta): bilinear sampling of the periodic world."""
+    wh, ww = world.shape
+    xs = np.arange(w, dtype=np.float64) - w / 2.0
+    ys = np.arange(h, dtype=np.float64) - h / 2.0
+    xg, yg = np.meshgrid(xs, ys)
     c, s = math.cos(theta), math.sin(theta)
     wx = px + c * xg - s * yg
     wy = py + s * xg + c * yg
-    return bilinear_sample(world, wx, wy, wrap=True)
+    x0 = np.floor(wx).astype(np.int64)
+    y0 = np.floor(wy).astype(np.int64)
+    fx = (wx - x0).astype(np.float32)
+    fy = (wy - y0).astype(np.float32)
+    x0 %= ww
+    y0 %= wh
+    x1 = (x0 + 1) % ww
+    y1 = (y0 + 1) % wh
+    v00 = world[y0, x0]
+    v01 = world[y0, x1]
+    v10 = world[y1, x0]
+    v11 = world[y1, x1]
+    top = v00 * (1 - fx) + v01 * fx
+    bot = v10 * (1 - fx) + v11 * fx
+    return (top * (1 - fy) + bot * fy).astype(np.float32)
 
 
 def render_sequence(
     world: np.ndarray, h: int, w: int, poses: Sequence[Tuple[float, float, float]]
 ) -> np.ndarray:
-    wj = jnp.asarray(world)
-    return np.stack([np.asarray(render_frame(wj, h, w, *p)) for p in poses])
+    world = np.asarray(world)
+    return np.stack([render_frame(world, h, w, *p) for p in poses])
 
 
 def square_loop_path(
