@@ -31,6 +31,7 @@ import jax.numpy as jnp
 
 from nislam_tpu.core.config import LoopClosureConfig
 from nislam_tpu.core.map_store import KeyframeBank, frames_in_neighborhood
+from nislam_tpu.ops.fft import r2c
 from nislam_tpu.ops.registration import CFOps, compute_pose
 
 
@@ -80,8 +81,9 @@ def _batched_search(
     _, slots = jax.lax.top_k(score, c)
     picked = eligible[slots]  # (C,) — False where top_k padded with ineligible
 
-    zf = bank.fft[slots]  # (C, H, W2)
-    zp = bank.polar_fft[slots]  # (C, D, C2)
+    # Gather in float-pair form (backend-portable), then view as complex.
+    zf = r2c(bank.fft[slots])  # (C, H, W2)
+    zp = r2c(bank.polar_fft[slots])  # (C, D, C2)
     pose, info = compute_pose(
         zf,
         image[None, :, :],

@@ -50,8 +50,11 @@ class KeyframeBank:
     ``_depth_fft_result`` is intentionally absent (SURVEY §2 #3).
     """
 
-    fft: jnp.ndarray  # (K, H, W//2+1) c64 — image spectra
-    polar_fft: jnp.ndarray  # (K, D, C//2+1) c64 — polar spectra
+    # Spectra live as float pairs (..., 2) = (re, im) — ops.fft.c2r — so the
+    # bank supports gather/scatter and host transfer on every backend; r2c
+    # happens at the point of use inside the consuming program.
+    fft: jnp.ndarray  # (K, H, W//2+1, 2) f32 — image spectra
+    polar_fft: jnp.ndarray  # (K, D, C//2+1, 2) f32 — polar spectra
     images: jnp.ndarray  # (K, H, W) f32 — raw frames (for the stitcher), or (K,0,0)
     poses: jnp.ndarray  # (K, 3) f32 — robot-frame (x, y, θ), optimized in place
     grid_xy: jnp.ndarray  # (K, 2) i32 — spatial-hash cell captured at insertion
@@ -103,8 +106,8 @@ def make_keyframe_bank(cf: CFConfig, map_cfg: MapConfig) -> KeyframeBank:
     d, c = cf.rotation_divisor, cf.rotation_channel
     img_shape = (k, h, w) if map_cfg.store_images else (k, 0, 0)
     return KeyframeBank(
-        fft=jnp.zeros((k, h, w // 2 + 1), jnp.complex64),
-        polar_fft=jnp.zeros((k, d, c // 2 + 1), jnp.complex64),
+        fft=jnp.zeros((k, h, w // 2 + 1, 2), jnp.float32),
+        polar_fft=jnp.zeros((k, d, c // 2 + 1, 2), jnp.float32),
         images=jnp.zeros(img_shape, jnp.float32),
         poses=jnp.zeros((k, 3), jnp.float32),
         grid_xy=jnp.zeros((k, 2), jnp.int32),
@@ -155,7 +158,18 @@ def add_keyframe(
     reference's Python-level branch).  When the bank is full the record is
     dropped and ``overflow`` incremented; the returned slot is then the
     would-be slot (clamped), which callers must not treat as stored.
+
+    ``fft``/``polar_fft`` may be complex (as produced by
+    ``compute_intermedium``) or already float pairs.
     """
+    if jnp.iscomplexobj(fft):
+        from nislam_tpu.ops.fft import c2r
+
+        fft = c2r(fft)
+    if jnp.iscomplexobj(polar_fft):
+        from nislam_tpu.ops.fft import c2r
+
+        polar_fft = c2r(polar_fft)
     slot = jnp.minimum(bank.count, bank.capacity - 1)
     fits = bank.count < bank.capacity
     do = jnp.logical_and(enabled, fits)

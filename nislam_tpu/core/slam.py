@@ -47,6 +47,7 @@ from nislam_tpu.core.pose_graph import (
     solve_pose_graph,
 )
 from nislam_tpu.core.se2 import absolute_pose, relative_pose
+from nislam_tpu.ops.fft import c2r, r2c
 from nislam_tpu.ops.registration import CFOps, compute_intermedium, compute_pose, make_cf_ops
 
 
@@ -60,8 +61,8 @@ class TrackState:
     registering against the same keyframe.
     """
 
-    last_fft: jnp.ndarray  # (H, W//2+1) c64 — keyframe image spectrum
-    last_polar: jnp.ndarray  # (D, C//2+1) c64 — keyframe polar spectrum
+    last_fft: jnp.ndarray  # (H, W//2+1, 2) f32 pair — keyframe image spectrum
+    last_polar: jnp.ndarray  # (D, C//2+1, 2) f32 pair — keyframe polar spectrum
     last_cf_pose: jnp.ndarray  # (3,) image-plane (principal) chain
     last_cf_real_pose: jnp.ndarray  # (3,) camera frame
     last_pose: jnp.ndarray  # (3,) robot frame
@@ -178,9 +179,9 @@ def init_state(config: SlamConfig, cf_ops: CFOps) -> SlamState:
         bank=make_keyframe_bank(cf, config.map),
         edges=make_edge_store(config.map),
         track=TrackState(
-            last_fft=jnp.zeros((cf.height, cf.width // 2 + 1), jnp.complex64),
+            last_fft=jnp.zeros((cf.height, cf.width // 2 + 1, 2), jnp.float32),
             last_polar=jnp.zeros(
-                (cf.rotation_divisor, cf.rotation_channel // 2 + 1), jnp.complex64
+                (cf.rotation_divisor, cf.rotation_channel // 2 + 1, 2), jnp.float32
             ),
             last_cf_pose=jnp.zeros(3, jnp.float32),
             last_cf_real_pose=jnp.zeros(3, jnp.float32),
@@ -339,8 +340,8 @@ def slam_step(
             enabled=jnp.asarray(True),
         )
         track = TrackState(
-            last_fft=fft,
-            last_polar=polar,
+            last_fft=c2r(fft),
+            last_polar=c2r(polar),
             last_cf_pose=zero,
             last_cf_real_pose=camera.image_plane_to_camera(zero),
             last_pose=camera.image_plane_to_robot(zero),
@@ -368,7 +369,7 @@ def slam_step(
 
         # --- Tracking (map_builder.cc:127-138) --------------------------
         rel_center, response = compute_pose(
-            track.last_fft, img_u, track.last_polar, polar, cf_ops,
+            r2c(track.last_fft), img_u, r2c(track.last_polar), polar, cf_ops,
             large_rotation=False,
         )
         rel_principal = camera.center_to_principal(rel_center)
@@ -508,8 +509,8 @@ def slam_step(
 
         # --- UpdateIntermedium (map_builder.cc:99-106): only on insert ----
         track = TrackState(
-            last_fft=jnp.where(insert, fft, track.last_fft),
-            last_polar=jnp.where(insert, polar, track.last_polar),
+            last_fft=jnp.where(insert, c2r(fft), track.last_fft),
+            last_polar=jnp.where(insert, c2r(polar), track.last_polar),
             last_cf_pose=jnp.where(insert, cur_cf_pose, track.last_cf_pose),
             last_cf_real_pose=jnp.where(insert, cur_cf_real, track.last_cf_real_pose),
             last_pose=jnp.where(insert, cur_pose, track.last_pose),

@@ -19,7 +19,26 @@ numpy's default ``irfft2`` normalization.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+
+
+def c2r(x: jnp.ndarray) -> jnp.ndarray:
+    """Complex (..., N) → float32 (..., N, 2) real view.
+
+    Persistent state (keyframe banks, tracking carries, checkpoints) stores
+    spectra in this form: some TPU runtimes implement gather/scatter and
+    host transfers only for real dtypes, and float storage is universally
+    portable.  Complex values exist only transiently inside a jitted
+    program between :func:`rfft2` and its consumers; XLA fuses these view
+    conversions into the neighboring ops for free.
+    """
+    return jnp.stack([jnp.real(x), jnp.imag(x)], axis=-1)
+
+
+def r2c(y: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of :func:`c2r`: float32 (..., N, 2) → complex64 (..., N)."""
+    return jax.lax.complex(y[..., 0], y[..., 1])
 
 
 def rfft2(x: jnp.ndarray) -> jnp.ndarray:

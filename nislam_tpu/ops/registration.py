@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from nislam_tpu.core.config import CFConfig
-from nislam_tpu.ops.fft import fftshift2, impulse_spectrum, irfft2, rfft2
+from nislam_tpu.ops.fft import c2r, fftshift2, impulse_spectrum, irfft2, r2c, rfft2
 from nislam_tpu.ops.warp import polar_grid, rotate_wrap, warp_polar
 
 
@@ -43,18 +43,23 @@ class CFOps:
     """
 
     cfg: CFConfig = dataclasses.field(metadata=dict(static=True))
-    target_fft: jnp.ndarray  # (H, W//2+1) c64 — impulse spectrum at image size
-    target_rot_fft: jnp.ndarray  # (D, C//2+1) c64 — impulse spectrum at polar size
+    target_fft: jnp.ndarray  # (H, W//2+1, 2) f32 pair — impulse spectrum, image size
+    target_rot_fft: jnp.ndarray  # (D, C//2+1, 2) f32 pair — impulse spectrum, polar size
     polar_x: jnp.ndarray  # (D, C) f32 — polar sampling grid columns
     polar_y: jnp.ndarray  # (D, C) f32 — polar sampling grid rows
 
 
 def make_cf_ops(cfg: CFConfig) -> CFOps:
+    # Spectra are stored as float pairs (ops.fft.c2r): CFOps crosses jit
+    # boundaries as an argument, and persistent/boundary complex arrays are
+    # not portable across all TPU runtimes.
     px, py = polar_grid(cfg.height, cfg.width, cfg.rotation_divisor, cfg.rotation_channel)
     return CFOps(
         cfg=cfg,
-        target_fft=impulse_spectrum(cfg.height, cfg.width),
-        target_rot_fft=impulse_spectrum(cfg.rotation_divisor, cfg.rotation_channel),
+        target_fft=c2r(impulse_spectrum(cfg.height, cfg.width)),
+        target_rot_fft=c2r(
+            impulse_spectrum(cfg.rotation_divisor, cfg.rotation_channel)
+        ),
         polar_x=jnp.asarray(px),
         polar_y=jnp.asarray(py),
     )
@@ -202,7 +207,7 @@ def compute_pose(
     ishape = (cfg.height, cfg.width)
 
     rots, info_rot = estimate_trans(
-        last_polar_fft, cur_polar_fft, ops.target_rot_fft, pshape, cfg
+        last_polar_fft, cur_polar_fft, r2c(ops.target_rot_fft), pshape, cfg
     )
     degree = normalize_degree(rots[..., 0] * (2.0 / cfg.rotation_divisor) * 180.0)
 
@@ -210,14 +215,14 @@ def compute_pose(
         degree = jnp.where(jnp.abs(degree) > 90.0, degree - 180.0, degree)
         rot = rotate_wrap(image, -degree)
         trans, info_trans = estimate_trans(
-            last_fft, rfft2(rot), ops.target_fft, ishape, cfg
+            last_fft, rfft2(rot), r2c(ops.target_fft), ishape, cfg
         )
     else:
         # Both hypotheses in one batched rotate + FFT + registration.
         degs = jnp.stack([-degree, -degree + 180.0], axis=-1)  # (..., 2)
         rot2 = rotate_wrap(image[..., None, :, :], degs)  # (..., 2, H, W)
         trans2, info2 = estimate_trans(
-            last_fft[..., None, :, :], rfft2(rot2), ops.target_fft, ishape, cfg
+            last_fft[..., None, :, :], rfft2(rot2), r2c(ops.target_fft), ishape, cfg
         )
         take_veri = info2[..., 1] > info2[..., 0]
         info_trans = jnp.where(take_veri, info2[..., 1], info2[..., 0])

@@ -26,6 +26,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from nislam_tpu.core.config import LoopClosureConfig
 from nislam_tpu.core.loop_closure import LoopResult, _gating_mask
 from nislam_tpu.core.map_store import KeyframeBank, grid_location
+from nislam_tpu.ops.fft import r2c
 from nislam_tpu.ops.registration import CFOps, compute_pose
 
 
@@ -75,9 +76,9 @@ def find_loop_closure_sharded(
         _, picked_idx = jax.lax.top_k(eligible.astype(jnp.float32), c)
         picked = eligible[picked_idx]
         pose, info = compute_pose(
-            fft[picked_idx],
+            r2c(fft[picked_idx]),
             image[None],
-            polar_fft[picked_idx],
+            r2c(polar_fft[picked_idx]),
             cur_polar[None],
             cf_ops,
             large_rotation=True,
