@@ -101,11 +101,13 @@ def main() -> int:
     n_chunks = n_frames // chunk
     frames_j = jnp.asarray(frames[: n_chunks * chunk]).reshape(n_chunks, chunk, h, w)
 
-    # Warmup: compile + one chunk.
+    # Warmup: compile + one chunk.  Sync via a host transfer — on tunneled
+    # backends block_until_ready can return before remote execution
+    # finishes, so a d2h readback is the only honest fence.
     t0 = time.time()
     state = engine.init_state()
     state, _ = engine.run_chunk(state, frames_j[0])
-    jax.block_until_ready(state.bank.count)
+    int(np.asarray(state.bank.count))
     print(f"compile+first chunk: {time.time() - t0:.1f}s", file=sys.stderr)
 
     # Timed run over the whole sequence, fresh state.
@@ -115,7 +117,8 @@ def main() -> int:
     for i in range(n_chunks):
         state, outs = engine.run_chunk(state, frames_j[i])
         outs_all.append(outs)
-    jax.block_until_ready(state.bank.count)
+    # Fence: the final pose depends on every frame of every chunk.
+    np.asarray(outs_all[-1].pose)
     dt = time.time() - t0
     fps = (n_chunks * chunk) / dt
 

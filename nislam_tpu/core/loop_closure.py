@@ -91,6 +91,7 @@ def _batched_search(
         cur_polar_fft[None, :, :],
         cf_ops,
         large_rotation=True,
+        filters=(r2c(bank.filt[slots]), r2c(bank.filt_polar[slots])),
     )  # (C, 3), (C, 3)
 
     total = jnp.where(picked, info.sum(axis=-1), -jnp.inf)

@@ -55,6 +55,11 @@ class KeyframeBank:
     # happens at the point of use inside the consuming program.
     fft: jnp.ndarray  # (K, H, W//2+1, 2) f32 — image spectra
     polar_fft: jnp.ndarray  # (K, D, C//2+1, 2) f32 — polar spectra
+    # Cached correlation filters H = target/(Kzz+λ) (ops.registration.
+    # keyframe_filter): computed once at insertion instead of per
+    # registration — the reference recomputes Kzz on every EstimateTrans.
+    filt: jnp.ndarray  # (K, H, W//2+1, 2) f32
+    filt_polar: jnp.ndarray  # (K, D, C//2+1, 2) f32
     images: jnp.ndarray  # (K, H, W) f32 — raw frames (for the stitcher), or (K,0,0)
     poses: jnp.ndarray  # (K, 3) f32 — robot-frame (x, y, θ), optimized in place
     grid_xy: jnp.ndarray  # (K, 2) i32 — spatial-hash cell captured at insertion
@@ -108,6 +113,8 @@ def make_keyframe_bank(cf: CFConfig, map_cfg: MapConfig) -> KeyframeBank:
     return KeyframeBank(
         fft=jnp.zeros((k, h, w // 2 + 1, 2), jnp.float32),
         polar_fft=jnp.zeros((k, d, c // 2 + 1, 2), jnp.float32),
+        filt=jnp.zeros((k, h, w // 2 + 1, 2), jnp.float32),
+        filt_polar=jnp.zeros((k, d, c // 2 + 1, 2), jnp.float32),
         images=jnp.zeros(img_shape, jnp.float32),
         poses=jnp.zeros((k, 3), jnp.float32),
         grid_xy=jnp.zeros((k, 2), jnp.int32),
@@ -145,6 +152,8 @@ def add_keyframe(
     *,
     fft: jnp.ndarray,
     polar_fft: jnp.ndarray,
+    filt: jnp.ndarray | None = None,
+    filt_polar: jnp.ndarray | None = None,
     image: jnp.ndarray,
     pose: jnp.ndarray,
     frame_id: jnp.ndarray,
@@ -159,17 +168,21 @@ def add_keyframe(
     dropped and ``overflow`` incremented; the returned slot is then the
     would-be slot (clamped), which callers must not treat as stored.
 
-    ``fft``/``polar_fft`` may be complex (as produced by
-    ``compute_intermedium``) or already float pairs.
+    Spectra/filters may be complex (as produced by ``compute_intermedium`` /
+    ``compute_keyframe_filters``) or already float pairs.  Omitting the
+    cached filters leaves the slot's filter entries untouched (zeros in a
+    fresh bank) — hot-path callers must supply them, since registration
+    consumes ``bank.filt`` directly.
     """
-    if jnp.iscomplexobj(fft):
-        from nislam_tpu.ops.fft import c2r
+    from nislam_tpu.ops.fft import c2r
 
-        fft = c2r(fft)
-    if jnp.iscomplexobj(polar_fft):
-        from nislam_tpu.ops.fft import c2r
+    def as_pair(x):
+        return c2r(x) if x is not None and jnp.iscomplexobj(x) else x
 
-        polar_fft = c2r(polar_fft)
+    fft = as_pair(fft)
+    polar_fft = as_pair(polar_fft)
+    filt = as_pair(filt)
+    filt_polar = as_pair(filt_polar)
     slot = jnp.minimum(bank.count, bank.capacity - 1)
     fits = bank.count < bank.capacity
     do = jnp.logical_and(enabled, fits)
@@ -184,6 +197,12 @@ def add_keyframe(
         KeyframeBank(
             fft=wr(bank.fft, fft),
             polar_fft=wr(bank.polar_fft, polar_fft),
+            filt=bank.filt if filt is None else wr(bank.filt, filt),
+            filt_polar=(
+                bank.filt_polar
+                if filt_polar is None
+                else wr(bank.filt_polar, filt_polar)
+            ),
             images=images,
             poses=wr(bank.poses, pose),
             grid_xy=wr(bank.grid_xy, grid_location(pose[:2], grid_scale)),

@@ -48,7 +48,13 @@ from nislam_tpu.core.pose_graph import (
 )
 from nislam_tpu.core.se2 import absolute_pose, relative_pose
 from nislam_tpu.ops.fft import c2r, r2c
-from nislam_tpu.ops.registration import CFOps, compute_intermedium, compute_pose, make_cf_ops
+from nislam_tpu.ops.registration import (
+    CFOps,
+    compute_intermedium,
+    compute_keyframe_filters,
+    compute_pose,
+    make_cf_ops,
+)
 
 
 @jax.tree_util.register_dataclass
@@ -63,6 +69,8 @@ class TrackState:
 
     last_fft: jnp.ndarray  # (H, W//2+1, 2) f32 pair — keyframe image spectrum
     last_polar: jnp.ndarray  # (D, C//2+1, 2) f32 pair — keyframe polar spectrum
+    last_filt: jnp.ndarray  # (H, W//2+1, 2) f32 pair — cached keyframe filter
+    last_filt_polar: jnp.ndarray  # (D, C//2+1, 2) f32 pair — cached polar filter
     last_cf_pose: jnp.ndarray  # (3,) image-plane (principal) chain
     last_cf_real_pose: jnp.ndarray  # (3,) camera frame
     last_pose: jnp.ndarray  # (3,) robot frame
@@ -181,6 +189,10 @@ def init_state(config: SlamConfig, cf_ops: CFOps) -> SlamState:
         track=TrackState(
             last_fft=jnp.zeros((cf.height, cf.width // 2 + 1, 2), jnp.float32),
             last_polar=jnp.zeros(
+                (cf.rotation_divisor, cf.rotation_channel // 2 + 1, 2), jnp.float32
+            ),
+            last_filt=jnp.zeros((cf.height, cf.width // 2 + 1, 2), jnp.float32),
+            last_filt_polar=jnp.zeros(
                 (cf.rotation_divisor, cf.rotation_channel // 2 + 1, 2), jnp.float32
             ),
             last_cf_pose=jnp.zeros(3, jnp.float32),
@@ -328,10 +340,13 @@ def slam_step(
         # Initialize (map_builder.cc:86-97): pose 0 in every frame; insert.
         track = state.track
         zero = jnp.zeros(3, jnp.float32)
+        fi, fp = compute_keyframe_filters(fft, polar, cf_ops)
         bank, slot = add_keyframe(
             state.bank,
             fft=fft,
             polar_fft=polar,
+            filt=fi,
+            filt_polar=fp,
             image=img_u,
             pose=camera.image_plane_to_robot(zero),
             frame_id=frame_id,
@@ -342,6 +357,8 @@ def slam_step(
         track = TrackState(
             last_fft=c2r(fft),
             last_polar=c2r(polar),
+            last_filt=c2r(fi),
+            last_filt_polar=c2r(fp),
             last_cf_pose=zero,
             last_cf_real_pose=camera.image_plane_to_camera(zero),
             last_pose=camera.image_plane_to_robot(zero),
@@ -371,6 +388,7 @@ def slam_step(
         rel_center, response = compute_pose(
             r2c(track.last_fft), img_u, r2c(track.last_polar), polar, cf_ops,
             large_rotation=False,
+            filters=(r2c(track.last_filt), r2c(track.last_filt_polar)),
         )
         rel_principal = camera.center_to_principal(rel_center)
         good = jnp.logical_and(
@@ -407,10 +425,21 @@ def slam_step(
 
         # --- Edge + bank insert (map_builder.cc:59-62) -------------------
         rel_cf_real = relative_pose(track.last_cf_real_pose, cur_cf_real)
+        # Cached filters for the new keyframe — only paid when inserting
+        # (lax.cond skips the 4 transforms on dropped/non-keyframe frames).
+        fi_pair, fp_pair = jax.lax.cond(
+            insert,
+            lambda: tuple(
+                c2r(f) for f in compute_keyframe_filters(fft, polar, cf_ops)
+            ),
+            lambda: (track.last_filt, track.last_filt_polar),
+        )
         bank, slot = add_keyframe(
             state.bank,
             fft=fft,
             polar_fft=polar,
+            filt=fi_pair,
+            filt_polar=fp_pair,
             image=img_u,
             pose=cur_pose,
             frame_id=frame_id,
@@ -511,6 +540,8 @@ def slam_step(
         track = TrackState(
             last_fft=jnp.where(insert, c2r(fft), track.last_fft),
             last_polar=jnp.where(insert, c2r(polar), track.last_polar),
+            last_filt=jnp.where(insert, fi_pair, track.last_filt),
+            last_filt_polar=jnp.where(insert, fp_pair, track.last_filt_polar),
             last_cf_pose=jnp.where(insert, cur_cf_pose, track.last_cf_pose),
             last_cf_real_pose=jnp.where(insert, cur_cf_real, track.last_cf_real_pose),
             last_pose=jnp.where(insert, cur_pose, track.last_pose),

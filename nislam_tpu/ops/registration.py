@@ -124,12 +124,31 @@ def psr(g: jnp.ndarray, peak: jnp.ndarray) -> jnp.ndarray:
     return (peak - side_mean) / (std + 1e-7)
 
 
+def keyframe_filter(
+    zf: jnp.ndarray,
+    target_fft: jnp.ndarray,
+    shape: Tuple[int, int],
+    cfg: CFConfig,
+) -> jnp.ndarray:
+    """Learned correlation filter ``H = target / (Kzz + λ)`` of a keyframe.
+
+    The reference recomputes ``Kzz`` inside every ``EstimateTrans``
+    (/root/reference/src/correlation_flow.cc:150-153) even though it depends
+    only on the stored keyframe; the TPU build computes it once at keyframe
+    insertion and caches it in the bank — saving two FFT-sized transforms
+    per registration on the hot path.
+    """
+    kzz = _kernel_spectrum(zf, zf, shape, cfg)
+    return target_fft / (kzz + cfg.lambda_)
+
+
 def estimate_trans(
     zf: jnp.ndarray,
     xf: jnp.ndarray,
     target_fft: jnp.ndarray,
     shape: Tuple[int, int],
     cfg: CFConfig,
+    filt: jnp.ndarray | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """One closed-form KCC registration of ``xf`` against keyframe ``zf``.
 
@@ -137,12 +156,13 @@ def estimate_trans(
     from the argmax of ``g = IFFT(target/(Kzz+λ) · Kxz)`` — parity with
     ``EstimateTrans`` (/root/reference/src/correlation_flow.cc:145-179),
     including the row-major argmax tie-break (first maximum wins).
-    Batched over leading axes of ``zf``/``xf``.
+    Batched over leading axes of ``zf``/``xf``.  Pass the precomputed
+    ``filt`` (:func:`keyframe_filter`) to skip the ``Kzz`` solve.
     """
     h, w = shape
-    kzz = _kernel_spectrum(zf, zf, shape, cfg)
+    if filt is None:
+        filt = keyframe_filter(zf, target_fft, shape, cfg)
     kxz = _kernel_spectrum(xf, zf, shape, cfg)
-    filt = target_fft / (kzz + cfg.lambda_)
     g = irfft2(filt * kxz, shape)
     flat = g.reshape(*g.shape[:-2], h * w)
     idx = jnp.argmax(flat, axis=-1)
@@ -177,6 +197,24 @@ def normalize_degree(deg: jnp.ndarray) -> jnp.ndarray:
     return deg - 360.0 * jnp.floor((deg + 180.0) / 360.0)
 
 
+def compute_keyframe_filters(
+    fft: jnp.ndarray, polar_fft: jnp.ndarray, ops: CFOps
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(image filter, polar filter) for a new keyframe — cached in the bank
+    and consumed by :func:`compute_pose` via its ``filters`` argument."""
+    cfg = ops.cfg
+    fi = keyframe_filter(
+        fft, r2c(ops.target_fft), (cfg.height, cfg.width), cfg
+    )
+    fp = keyframe_filter(
+        polar_fft,
+        r2c(ops.target_rot_fft),
+        (cfg.rotation_divisor, cfg.rotation_channel),
+        cfg,
+    )
+    return fi, fp
+
+
 def compute_pose(
     last_fft: jnp.ndarray,
     image: jnp.ndarray,
@@ -185,6 +223,7 @@ def compute_pose(
     ops: CFOps,
     *,
     large_rotation: bool,
+    filters: Tuple[jnp.ndarray, jnp.ndarray] | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Full (x, y, θ) registration of ``image`` against a keyframe.
 
@@ -205,9 +244,11 @@ def compute_pose(
     cfg = ops.cfg
     pshape = (cfg.rotation_divisor, cfg.rotation_channel)
     ishape = (cfg.height, cfg.width)
+    filt_img, filt_polar = filters if filters is not None else (None, None)
 
     rots, info_rot = estimate_trans(
-        last_polar_fft, cur_polar_fft, r2c(ops.target_rot_fft), pshape, cfg
+        last_polar_fft, cur_polar_fft, r2c(ops.target_rot_fft), pshape, cfg,
+        filt=filt_polar,
     )
     degree = normalize_degree(rots[..., 0] * (2.0 / cfg.rotation_divisor) * 180.0)
 
@@ -215,14 +256,15 @@ def compute_pose(
         degree = jnp.where(jnp.abs(degree) > 90.0, degree - 180.0, degree)
         rot = rotate_wrap(image, -degree)
         trans, info_trans = estimate_trans(
-            last_fft, rfft2(rot), r2c(ops.target_fft), ishape, cfg
+            last_fft, rfft2(rot), r2c(ops.target_fft), ishape, cfg, filt=filt_img
         )
     else:
         # Both hypotheses in one batched rotate + FFT + registration.
         degs = jnp.stack([-degree, -degree + 180.0], axis=-1)  # (..., 2)
         rot2 = rotate_wrap(image[..., None, :, :], degs)  # (..., 2, H, W)
         trans2, info2 = estimate_trans(
-            last_fft[..., None, :, :], rfft2(rot2), r2c(ops.target_fft), ishape, cfg
+            last_fft[..., None, :, :], rfft2(rot2), r2c(ops.target_fft), ishape, cfg,
+            filt=None if filt_img is None else filt_img[..., None, :, :],
         )
         take_veri = info2[..., 1] > info2[..., 0]
         info_trans = jnp.where(take_veri, info2[..., 1], info2[..., 0])

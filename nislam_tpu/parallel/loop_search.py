@@ -54,7 +54,7 @@ def find_loop_closure_sharded(
     c = min(cfg.max_candidates, local_k)
 
     def local_search(
-        fft, polar_fft, poses_grid, frame_ids, distances, count,
+        fft, polar_fft, filt, filt_polar, poses_grid, frame_ids, distances, count,
         image, cur_polar, cur_fid, cur_dist, prior,
     ):
         shard = jax.lax.axis_index(axis)
@@ -82,6 +82,7 @@ def find_loop_closure_sharded(
             cur_polar[None],
             cf_ops,
             large_rotation=True,
+            filters=(r2c(filt[picked_idx]), r2c(filt_polar[picked_idx])),
         )
         total = jnp.where(picked, info.sum(axis=-1), -jnp.inf)
         best = jnp.argmax(total)
@@ -99,7 +100,7 @@ def find_loop_closure_sharded(
         local_search,
         mesh=mesh,
         in_specs=(
-            P(axis), P(axis), P(axis), P(axis), P(axis), P(),
+            P(axis), P(axis), P(axis), P(axis), P(axis), P(axis), P(axis), P(),
             P(), P(), P(), P(), P(),
         ),
         out_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
@@ -107,6 +108,8 @@ def find_loop_closure_sharded(
     scores, slots, poses_g, infos, anys = shmap(
         bank.fft,
         bank.polar_fft,
+        bank.filt,
+        bank.filt_polar,
         bank.grid_xy,
         bank.frame_ids,
         bank.distances,
