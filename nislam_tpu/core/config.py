@@ -39,6 +39,11 @@ class CFConfig:
     power: int = 3
     rotation_divisor: int = 720
     rotation_channel: int = 480
+    # De-rotation resampler: "fft" (3-shear Fourier rotation — TPU-fast,
+    # sinc interpolation) or "bilinear" (gather — bit-parity with the
+    # reference's cv::warpAffine, ~20× slower on TPU).  "fft" silently
+    # falls back to bilinear for odd image sizes.
+    rotate_method: str = "fft"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -203,6 +208,7 @@ def load_config(path: str, *, load_camera: bool = True) -> SlamConfig:
         power=int(cfn.get("polynomial", {}).get("power", 3)),
         rotation_divisor=int(cfn.get("rotation_divisor", 720)),
         rotation_channel=int(cfn.get("rotation_channel", 480)),
+        rotate_method=str(cfn.get("rotate_method", "fft")),
     )
 
     kfn = node.get("keyframe_selection", {})

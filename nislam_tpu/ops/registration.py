@@ -28,7 +28,14 @@ import jax.numpy as jnp
 
 from nislam_tpu.core.config import CFConfig
 from nislam_tpu.ops.fft import c2r, fftshift2, impulse_spectrum, irfft2, r2c, rfft2
-from nislam_tpu.ops.warp import polar_grid, rotate_wrap, warp_polar
+from nislam_tpu.ops.warp import polar_grid, rotate_wrap, rotate_wrap_fft, warp_polar
+
+
+def _rotate_fn(cfg: CFConfig):
+    """De-rotation resampler per config (fft → 3-shear, else gather)."""
+    if cfg.rotate_method == "fft" and cfg.height % 2 == 0 and cfg.width % 2 == 0:
+        return rotate_wrap_fft
+    return rotate_wrap
 
 
 @jax.tree_util.register_dataclass
@@ -252,16 +259,17 @@ def compute_pose(
     )
     degree = normalize_degree(rots[..., 0] * (2.0 / cfg.rotation_divisor) * 180.0)
 
+    rotate = _rotate_fn(cfg)
     if not large_rotation:
         degree = jnp.where(jnp.abs(degree) > 90.0, degree - 180.0, degree)
-        rot = rotate_wrap(image, -degree)
+        rot = rotate(image, -degree)
         trans, info_trans = estimate_trans(
             last_fft, rfft2(rot), r2c(ops.target_fft), ishape, cfg, filt=filt_img
         )
     else:
         # Both hypotheses in one batched rotate + FFT + registration.
         degs = jnp.stack([-degree, -degree + 180.0], axis=-1)  # (..., 2)
-        rot2 = rotate_wrap(image[..., None, :, :], degs)  # (..., 2, H, W)
+        rot2 = rotate(image[..., None, :, :], degs)  # (..., 2, H, W)
         trans2, info2 = estimate_trans(
             last_fft[..., None, :, :], rfft2(rot2), r2c(ops.target_fft), ishape, cfg,
             filt=None if filt_img is None else filt_img[..., None, :, :],

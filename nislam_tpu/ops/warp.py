@@ -109,6 +109,65 @@ def warp_polar(img: jnp.ndarray, grid_x: jnp.ndarray, grid_y: jnp.ndarray) -> jn
     return bilinear_sample(img, grid_x, grid_y, wrap=False)
 
 
+def _shear_x(img: jnp.ndarray, s: jnp.ndarray) -> jnp.ndarray:
+    """Circular x-shear: dst(y, x) = src(y, x + s·(y − cy)) via the Fourier
+    shift theorem along rows (no gathers, sinc interpolation, exact wrap)."""
+    h, w = img.shape[-2], img.shape[-1]
+    f = jnp.fft.rfft(img, axis=-1)  # (..., H, W//2+1)
+    kx = jnp.arange(w // 2 + 1, dtype=jnp.float32)
+    y = jnp.arange(h, dtype=jnp.float32) - h / 2.0
+    d = s[..., None] * y  # (..., H) row shifts
+    phase = jnp.exp(2j * jnp.pi / w * d[..., :, None] * kx)  # (..., H, W//2+1)
+    return jnp.fft.irfft(f * phase, n=w, axis=-1)
+
+
+def _shear_y(img: jnp.ndarray, s: jnp.ndarray) -> jnp.ndarray:
+    """Circular y-shear: dst(y, x) = src(y + s·(x − cx), x) along columns."""
+    h, w = img.shape[-2], img.shape[-1]
+    f = jnp.fft.rfft(img, axis=-2)  # (..., H//2+1, W)
+    ky = jnp.arange(h // 2 + 1, dtype=jnp.float32)
+    x = jnp.arange(w, dtype=jnp.float32) - w / 2.0
+    d = s[..., None] * x  # (..., W) column shifts
+    phase = jnp.exp(2j * jnp.pi / h * ky[..., :, None] * d[..., None, :])
+    return jnp.fft.irfft(f * phase, n=h, axis=-2)
+
+
+def _rot180(img: jnp.ndarray) -> jnp.ndarray:
+    """Exact 180° rotation about the (W/2, H/2) center for even sizes:
+    dst(y, x) = src((−y) mod H, (−x) mod W) — pure reindexing."""
+    return jnp.roll(jnp.flip(img, axis=(-2, -1)), shift=(1, 1), axis=(-2, -1))
+
+
+def rotate_wrap_fft(img: jnp.ndarray, degree: jnp.ndarray) -> jnp.ndarray:
+    """Rotation about the image center with periodic wrap — the TPU-fast
+    path: three FFT shears instead of a bilinear gather.
+
+    Same dst→src map as :func:`rotate_wrap` (``R(deg)`` about ``(W/2,
+    H/2)``), decomposed as ``R(θ) = Sx(−tan(θ/2)) · Sy(sin θ) ·
+    Sx(−tan(θ/2))`` with each shear applied in the Fourier domain (phase
+    multiply — dense VPU work, no gathers; a random-access gather of a
+    640×480 image costs ~10 ms on TPU, the shears ~0.5 ms).  Angles beyond
+    ±90° are folded through an exact 180° flip so the shear factors stay
+    small (|tan(θ/2)| ≤ 1).  Interpolation is sinc (Fourier) rather than
+    the reference's bilinear (/root/reference/src/utils.cc:154-161) —
+    equivalent at the decision level (SURVEY §7 hard part 2) and usually
+    sharper.  Requires even H and W (all supported configs; asserts).
+    """
+    h, w = img.shape[-2], img.shape[-1]
+    if h % 2 or w % 2:
+        raise ValueError(f"rotate_wrap_fft requires even sizes, got {h}x{w}")
+    deg = jnp.asarray(degree, jnp.float32)
+    # Fold into (-90, 90] + optional 180° flip.
+    d = deg - 360.0 * jnp.floor((deg + 180.0) / 360.0)  # (-180, 180]
+    flip = jnp.abs(d) > 90.0
+    d = jnp.where(flip, d - jnp.sign(d) * 180.0, d)
+    img = jnp.where(flip[..., None, None], _rot180(img), img)
+    rad = d * (math.pi / 180.0)
+    a = -jnp.tan(rad / 2.0)
+    b = jnp.sin(rad)
+    return _shear_x(_shear_y(_shear_x(img, a), b), a)
+
+
 def rotate_wrap(img: jnp.ndarray, degree: jnp.ndarray) -> jnp.ndarray:
     """Rotate ``img[..., H, W]`` by ``degree`` about the image center.
 
