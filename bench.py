@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -30,6 +31,18 @@ def main() -> int:
     args = ap.parse_args()
 
     import jax
+
+    # Persistent compilation cache: the scan program is large and some
+    # backends compile it remotely (minutes); cache hits make reruns fast.
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
+
     import jax.numpy as jnp
 
     from nislam_tpu.core.config import (

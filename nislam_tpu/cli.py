@@ -43,6 +43,10 @@ def _add_run_args(p: argparse.ArgumentParser) -> None:
         "--stitch", action="store_true",
         help="rasterize the occupancy mosaic and save it as PNG",
     )
+    p.add_argument(
+        "--profile", default=None, metavar="DIR",
+        help="capture a jax.profiler trace of the run into DIR (TensorBoard)",
+    )
 
 
 def cmd_run(args: argparse.Namespace) -> int:
@@ -69,9 +73,19 @@ def cmd_run(args: argparse.Namespace) -> int:
         state = load_state(args.load_state, state)
         print(f"resumed from {args.load_state} ({int(state.bank.count)} keyframes)")
 
+    import contextlib
+
+    if args.profile:
+        from nislam_tpu.utils.profiling import trace
+
+        prof_ctx = trace(args.profile)
+    else:
+        prof_ctx = contextlib.nullcontext()
+
     all_times: List[float] = []
     outs_list = []
     t_start = time.time()
+    prof_ctx.__enter__()
     if args.mode == "step":
         for i in range(n):
             img, ts = dataset.get(i)
@@ -98,6 +112,9 @@ def cmd_run(args: argparse.Namespace) -> int:
             done += len(images)
         outs = jax.tree.map(lambda *xs: np.concatenate(xs), *chunks)
     state, ran = engine.finalize(state)
+    prof_ctx.__exit__(None, None, None)
+    if args.profile:
+        print(f"profiler trace written to {args.profile}")
     elapsed = time.time() - t_start
     fps = n / elapsed
     n_kf = int(state.bank.count)

@@ -45,3 +45,22 @@ def make_mesh(
 def data_sharding(mesh: Mesh, axis: str = "data") -> NamedSharding:
     """Shard the leading (batch) dimension over ``axis``, replicate the rest."""
     return NamedSharding(mesh, P(axis))
+
+
+def init_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> int:
+    """Multi-host bring-up: ``jax.distributed.initialize`` with arguments
+    auto-detected from the cluster environment when omitted.  Call once per
+    host before ``make_mesh``; afterwards ``jax.devices()`` spans every
+    host and the same mesh/axis specs shard over ICI within a slice and DCN
+    across slices.  Returns the global device count.
+    """
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    return len(jax.devices())
