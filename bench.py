@@ -28,6 +28,11 @@ def main() -> int:
     ap.add_argument("--quick", action="store_true", help="small config (CPU smoke)")
     ap.add_argument("--frames", type=int, default=0)
     ap.add_argument("--chunk", type=int, default=128)
+    ap.add_argument(
+        "--batch", type=int, default=0,
+        help="also measure data-parallel multi-sequence throughput at this "
+        "batch size (BASELINE config 4)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -160,6 +165,31 @@ def main() -> int:
         "device": f"{dev.platform}:{dev.device_kind}",
         "image": f"{h}x{w}",
     }
+
+    if args.batch:
+        # Data-parallel multi-sequence throughput: B sequences tracked in
+        # one vmapped program on the same chip (BASELINE config 4).  The
+        # front end is embarrassingly parallel, so the small-tensor latency
+        # floor amortizes across the batch.
+        from nislam_tpu.parallel.batch import make_batch_engine
+
+        b = args.batch
+        beng = make_batch_engine(config, batch=b)
+        per_seq = max(1, min(chunk, n_frames // 4))
+        imgs = jnp.asarray(
+            np.broadcast_to(frames[:per_seq], (b, per_seq, h, w)).copy()
+        )
+        states = beng.init_states()
+        states, bouts = beng.run_chunk(states, imgs)
+        np.asarray(bouts.pose)  # warm + fence
+        states = beng.init_states()
+        t0 = time.time()
+        states, bouts = beng.run_chunk(states, imgs)
+        np.asarray(bouts.pose)
+        bdt = time.time() - t0
+        result["batch_size"] = b
+        result["batch_frames_per_sec_per_chip"] = round(b * per_seq / bdt, 1)
+
     print(json.dumps(result))
     return 0
 

@@ -1,0 +1,95 @@
+"""Unit tests for loop-closure gating & the exhaustive-search overload."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from nislam_tpu.core.config import CFConfig, LoopClosureConfig, MapConfig
+from nislam_tpu.core.loop_closure import (
+    _gating_mask,
+    find_loop_closure,
+    find_loop_closure_all,
+)
+from nislam_tpu.core.map_store import add_keyframe, make_keyframe_bank
+from nislam_tpu.ops.registration import (
+    compute_intermedium,
+    compute_keyframe_filters,
+    make_cf_ops,
+)
+from nislam_tpu.utils.synthetic import make_world, render_frame
+
+H, W = 64, 96
+CF = CFConfig(width=W, height=H, rotation_divisor=90, rotation_channel=48)
+MAP = MapConfig(grid_scale=0.1, keyframe_capacity=8, edge_capacity=16)
+
+
+def _bank_with(world, poses_px, frame_ids, distances):
+    ops = make_cf_ops(CF)
+    bank = make_keyframe_bank(CF, MAP)
+    for (px, py), fid, dist in zip(poses_px, frame_ids, distances):
+        img = jnp.asarray(render_frame(world, H, W, px, py, 0.0))
+        fft, polar = compute_intermedium(img, ops)
+        fi, fp = compute_keyframe_filters(fft, polar, ops)
+        bank, _ = add_keyframe(
+            bank,
+            fft=fft,
+            polar_fft=polar,
+            filt=fi,
+            filt_polar=fp,
+            image=img,
+            pose=jnp.asarray([(px - 256.0) * 0.01, (py - 256.0) * 0.01, 0.0], jnp.float32),
+            frame_id=jnp.asarray(fid, jnp.int32),
+            distance=jnp.asarray(dist, jnp.float32),
+            grid_scale=MAP.grid_scale,
+            enabled=jnp.asarray(True),
+        )
+    return bank, ops
+
+
+def test_gating_mask_thresholds():
+    class B:
+        frame_ids = jnp.asarray([0, 50, 90, 100])
+        distances = jnp.asarray([0.0, 2.0, 4.0, 6.0])
+
+    cand = jnp.ones(4, bool)
+    cfg = LoopClosureConfig(frame_gap_thr=60, distance_thr=3.0)
+    m = _gating_mask(B(), jnp.asarray(100), jnp.asarray(6.0), cand, cfg)
+    # gap: |100-id| >= 60 keeps ids 0, 40?: [100,50,10,0] -> keeps 0; dist:
+    # |6-d| >= 3 keeps d in {0,2,3?}: [6,4,2,0] -> keeps 0.0, 2.0(4>=3), not 4.0(2<3), not 6.0
+    np.testing.assert_array_equal(np.asarray(m), [True, False, False, False])
+    # thresholds <= 0 disable the gates (reference's `> 0` checks)
+    cfg0 = LoopClosureConfig(frame_gap_thr=0, distance_thr=0.0)
+    m0 = _gating_mask(B(), jnp.asarray(100), jnp.asarray(6.0), cand, cfg0)
+    np.testing.assert_array_equal(np.asarray(m0), [True] * 4)
+
+
+def test_find_loop_closure_all_scans_whole_bank():
+    """The exhaustive overload (loop_closure.cc:10-15) ignores the spatial
+    hash: a revisit far outside the 3×3 neighborhood is still found."""
+    world = make_world(512, 3.0)
+    # Keyframes at 256 and at 400 (1.44 m away — way outside 3×3 grid cells
+    # of 0.1 m); query revisits the FIRST location.
+    bank, ops = _bank_with(
+        world, [(256.0, 256.0), (400.0, 256.0)], [0, 50], [0.0, 5.0]
+    )
+    img = jnp.asarray(render_frame(world, H, W, 258.0, 256.0, 0.0))
+    _, polar = compute_intermedium(img, ops)
+    cfg = LoopClosureConfig(
+        frame_gap_thr=60, distance_thr=1.0,
+        position_response_thr=8.0, angle_response_thr=8.0, max_candidates=8,
+    )
+    res = find_loop_closure_all(
+        bank, img, polar, jnp.asarray(100, jnp.int32), jnp.asarray(9.0, jnp.float32),
+        ops, cfg,
+    )
+    assert bool(res.found)
+    assert int(res.loop_slot) == 0
+    # displacement ~2 px in x
+    assert abs(float(res.relative_pose[0]) - 2.0) <= 1.5
+
+    # The gated search with a prior at the *wrong* place finds nothing.
+    res2 = find_loop_closure(
+        bank, img, polar, jnp.asarray(100, jnp.int32), jnp.asarray(9.0, jnp.float32),
+        jnp.asarray([5.0, 5.0, 0.0], jnp.float32), ops, cfg, MAP.grid_scale,
+    )
+    assert not bool(res2.found)
