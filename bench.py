@@ -91,6 +91,10 @@ def main() -> int:
             keyframe_capacity=max(256, n_frames // 2 + 16),
             edge_capacity=2 * n_frames,
             store_images=False,
+            # At 640×480 the filter cache doubles bank HBM (~1.4 GB with
+            # donation double-buffering) — past what this chip's runtime
+            # serves comfortably; trade 2 transforms/candidate instead.
+            cache_filters=args.quick,
         ),
         loop_closure=LoopClosureConfig(
             to_find_loop=True,

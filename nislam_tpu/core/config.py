@@ -68,6 +68,12 @@ class MapConfig:
     keyframe_capacity: int = 512
     edge_capacity: int = 2048
     store_images: bool = True  # needed by the stitcher; disable to save HBM
+    # Cache per-keyframe correlation filters in the bank (2× spectra HBM).
+    # Tracking always uses the cached filter of the current target (carried
+    # in TrackState, no bank cost); this flag only affects loop-closure
+    # candidates: off → the batched search recomputes Kzz per candidate
+    # (+2 transforms each), halving bank memory.
+    cache_filters: bool = True
 
 
 @dataclasses.dataclass(frozen=True)
@@ -225,6 +231,7 @@ def load_config(path: str, *, load_camera: bool = True) -> SlamConfig:
         keyframe_capacity=int(mpn.get("keyframe_capacity", 512)),
         edge_capacity=int(mpn.get("edge_capacity", 2048)),
         store_images=bool(mpn.get("store_images", True)),
+        cache_filters=bool(mpn.get("cache_filters", True)),
     )
 
     lcn = node.get("loop_closure", {})

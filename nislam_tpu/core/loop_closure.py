@@ -84,6 +84,11 @@ def _batched_search(
     # Gather in float-pair form (backend-portable), then view as complex.
     zf = r2c(bank.fft[slots])  # (C, H, W2)
     zp = r2c(bank.polar_fft[slots])  # (C, D, C2)
+    filters = (
+        (r2c(bank.filt[slots]), r2c(bank.filt_polar[slots]))
+        if bank.filt.shape[1]
+        else None  # cache_filters off: recompute Kzz per candidate
+    )
     pose, info = compute_pose(
         zf,
         image[None, :, :],
@@ -91,7 +96,7 @@ def _batched_search(
         cur_polar_fft[None, :, :],
         cf_ops,
         large_rotation=True,
-        filters=(r2c(bank.filt[slots]), r2c(bank.filt_polar[slots])),
+        filters=filters,
     )  # (C, 3), (C, 3)
 
     total = jnp.where(picked, info.sum(axis=-1), -jnp.inf)

@@ -110,11 +110,13 @@ def make_keyframe_bank(cf: CFConfig, map_cfg: MapConfig) -> KeyframeBank:
     h, w = cf.height, cf.width
     d, c = cf.rotation_divisor, cf.rotation_channel
     img_shape = (k, h, w) if map_cfg.store_images else (k, 0, 0)
+    fshape = (k, h, w // 2 + 1, 2) if map_cfg.cache_filters else (k, 0, 0, 2)
+    fpshape = (k, d, c // 2 + 1, 2) if map_cfg.cache_filters else (k, 0, 0, 2)
     return KeyframeBank(
         fft=jnp.zeros((k, h, w // 2 + 1, 2), jnp.float32),
         polar_fft=jnp.zeros((k, d, c // 2 + 1, 2), jnp.float32),
-        filt=jnp.zeros((k, h, w // 2 + 1, 2), jnp.float32),
-        filt_polar=jnp.zeros((k, d, c // 2 + 1, 2), jnp.float32),
+        filt=jnp.zeros(fshape, jnp.float32),
+        filt_polar=jnp.zeros(fpshape, jnp.float32),
         images=jnp.zeros(img_shape, jnp.float32),
         poses=jnp.zeros((k, 3), jnp.float32),
         grid_xy=jnp.zeros((k, 2), jnp.int32),
@@ -197,10 +199,14 @@ def add_keyframe(
         KeyframeBank(
             fft=wr(bank.fft, fft),
             polar_fft=wr(bank.polar_fft, polar_fft),
-            filt=bank.filt if filt is None else wr(bank.filt, filt),
+            filt=(
+                bank.filt
+                if filt is None or bank.filt.shape[1] == 0
+                else wr(bank.filt, filt)
+            ),
             filt_polar=(
                 bank.filt_polar
-                if filt_polar is None
+                if filt_polar is None or bank.filt_polar.shape[1] == 0
                 else wr(bank.filt_polar, filt_polar)
             ),
             images=images,

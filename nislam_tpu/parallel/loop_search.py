@@ -75,6 +75,11 @@ def find_loop_closure_sharded(
 
         _, picked_idx = jax.lax.top_k(eligible.astype(jnp.float32), c)
         picked = eligible[picked_idx]
+        filters = (
+            (r2c(filt[picked_idx]), r2c(filt_polar[picked_idx]))
+            if filt.shape[1]
+            else None
+        )
         pose, info = compute_pose(
             r2c(fft[picked_idx]),
             image[None],
@@ -82,7 +87,7 @@ def find_loop_closure_sharded(
             cur_polar[None],
             cf_ops,
             large_rotation=True,
-            filters=(r2c(filt[picked_idx]), r2c(filt_polar[picked_idx])),
+            filters=filters,
         )
         total = jnp.where(picked, info.sum(axis=-1), -jnp.inf)
         best = jnp.argmax(total)
