@@ -171,13 +171,14 @@ def estimate_trans(
         filt = keyframe_filter(zf, target_fft, shape, cfg)
     kxz = _kernel_spectrum(xf, zf, shape, cfg)
     g = irfft2(filt * kxz, shape)
-    flat = g.reshape(*g.shape[:-2], h * w)
-    idx = jnp.argmax(flat, axis=-1)
-    peak = jnp.take_along_axis(flat, idx[..., None], axis=-1)[..., 0]
+    # Fused single-pass peak/argmax/PSR moments (Pallas on TPU).
+    from nislam_tpu.ops.pallas_kernels import peak_stats, psr_from_stats
+
+    peak, idx, s, ss = peak_stats(g)
     row = (idx // w).astype(jnp.float32)
     col = (idx % w).astype(jnp.float32)
     trans = jnp.stack([-(row - h // 2), -(col - w // 2)], axis=-1)
-    return trans, psr(g, peak)
+    return trans, psr_from_stats(peak, s, ss, h * w)
 
 
 def compute_intermedium(

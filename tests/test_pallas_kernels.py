@@ -1,0 +1,53 @@
+"""Fused peak-stats kernel: jnp path vs oracle + PSR-from-moments parity."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from nislam_tpu.ops.pallas_kernels import peak_stats, psr_from_stats
+from nislam_tpu.ops.registration import psr
+
+
+def test_peak_stats_matches_oracle(rng):
+    g = jnp.asarray(rng.standard_normal((3, 24, 32)).astype(np.float32))
+    peak, idx, s, ss = peak_stats(g)
+    gn = np.asarray(g)
+    flat = gn.reshape(3, -1)
+    np.testing.assert_allclose(np.asarray(peak), flat.max(-1), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(idx), flat.argmax(-1))
+    np.testing.assert_allclose(np.asarray(s), flat.sum(-1), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(ss), (flat * flat).sum(-1), rtol=1e-4)
+
+
+def test_first_max_tiebreak(rng):
+    g = np.zeros((8, 8), np.float32)
+    g[2, 3] = 5.0
+    g[5, 1] = 5.0  # later in row-major order
+    _, idx, _, _ = peak_stats(jnp.asarray(g))
+    assert int(idx) == 2 * 8 + 3
+
+
+def test_psr_from_stats_matches_reference_psr(rng):
+    g = jnp.asarray(rng.random((16, 20)).astype(np.float32))
+    peak, idx, s, ss = peak_stats(g)
+    got = psr_from_stats(peak, s, ss, 16 * 20)
+    want = psr(g, peak)
+    np.testing.assert_allclose(float(got), float(want), rtol=1e-4)
+
+
+def test_pallas_path_interpret_mode(rng):
+    """Exercise the actual Pallas kernel via the TPU interpreter on CPU."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    g = jnp.asarray(rng.standard_normal((16, 128)).astype(np.float32))
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            peak, idx, s, ss = peak_stats(g, force="pallas")
+    except Exception as exc:  # pragma: no cover - interpreter availability
+        pytest.skip(f"pallas interpret mode unavailable: {exc}")
+    gn = np.asarray(g).ravel()
+    assert float(peak) == pytest.approx(gn.max())
+    assert int(idx) == int(gn.argmax())
+    np.testing.assert_allclose(float(s), gn.sum(), rtol=1e-4)
