@@ -160,6 +160,71 @@ class SlamEngine:
         return lambda state, images: run(state, images, self.cf_ops, self.camera)
 
     @functools.cached_property
+    def run_blocks(self):
+        """``(state, images[Nb, k, H, W], valid[Nb, k]) -> (state,
+        StepOutput[Nb, k])`` — speculative lookahead scan (k =
+        config.lookahead; see core.lookahead).  State must be initialized
+        (frame 0 via :meth:`step`)."""
+        from nislam_tpu.core.lookahead import slam_step_block
+
+        config = self.config
+
+        @functools.partial(jax.jit, donate_argnums=0)
+        def run(state, images, valid, cf_ops, camera):
+            def body(st, xs):
+                imgs, v = xs
+                return slam_step_block(
+                    st, imgs, v, config=config, cf_ops=cf_ops, camera=camera
+                )
+
+            return jax.lax.scan(body, state, (images, valid))
+
+        return lambda state, images, valid: run(
+            state, images, valid, self.cf_ops, self.camera
+        )
+
+    def run_sequence(self, state, images, *, numpy_outputs: bool = True):
+        """Host-side driver over a whole (N, H, W) sequence.
+
+        Uses exact per-frame semantics when ``config.lookahead <= 1``,
+        otherwise the block pipeline: frame 0 through the single-frame step
+        (it may be the initializer), the rest in lookahead-sized blocks
+        (padded with masked lanes).  Returns ``(state, StepOutput[N])``.
+        """
+        import numpy as np
+
+        k = max(1, self.config.lookahead)
+        images = jnp.asarray(images)
+        n = images.shape[0]
+        if k == 1:
+            state, outs = self.run_chunk(state, images)
+        else:
+            state, out0 = self.step(state, images[0])
+            rest = images[1:]
+            m = rest.shape[0]
+            nb = -(-m // k)
+            pad = nb * k - m
+            if pad:
+                rest = jnp.concatenate(
+                    [rest, jnp.repeat(rest[-1:], pad, axis=0)], axis=0
+                )
+            valid = jnp.arange(nb * k) < m
+            state, bouts = self.run_blocks(
+                state,
+                rest.reshape(nb, k, *images.shape[1:]),
+                valid.reshape(nb, k),
+            )
+            flat = jax.tree.map(
+                lambda x: x.reshape(nb * k, *x.shape[2:])[:m], bouts
+            )
+            outs = jax.tree.map(
+                lambda a, b: jnp.concatenate([a[None], b]), out0, flat
+            )
+        if numpy_outputs:
+            outs = jax.tree.map(np.asarray, outs)
+        return state, outs
+
+    @functools.cached_property
     def finalize(self):
         """End-of-sequence optimize (main.cpp:68-69 fires ``CheckAndOptimize``
         on the last frame)."""

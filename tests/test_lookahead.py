@@ -1,0 +1,101 @@
+"""Speculative block tracking vs exact per-frame semantics."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from nislam_tpu.core.config import (
+    CFConfig,
+    CameraConfig,
+    KeyframeSelectionConfig,
+    LoopClosureConfig,
+    MapConfig,
+    SlamConfig,
+)
+from nislam_tpu.core.slam import make_engine
+from nislam_tpu.io.trajectory import ate_rmse
+from nislam_tpu.utils.synthetic import make_world, render_sequence, square_loop_path, straight_path
+
+H, W = 96, 128
+
+
+def _config(lookahead, **lc):
+    lcd = dict(
+        to_find_loop=True, position_response_thr=8.0, angle_response_thr=8.0,
+        frame_gap_thr=30, distance_thr=1.0, max_candidates=8,
+    )
+    lcd.update(lc)
+    return SlamConfig(
+        lookahead=lookahead,
+        cf=CFConfig(width=W, height=H, rotation_divisor=180, rotation_channel=96),
+        keyframe_selection=KeyframeSelectionConfig(
+            max_distance=0.10, max_angle=0.05,
+            lower_response_thr=4.0, upper_response_thr=6.0,
+        ),
+        map=MapConfig(grid_scale=0.15, keyframe_capacity=128, edge_capacity=512),
+        loop_closure=LoopClosureConfig(**lcd),
+        camera=CameraConfig(
+            image_width=W, image_height=H, height=1.0,
+            intrinsics=(100.0, W / 2.0, 100.0, H / 2.0),
+        ),
+    )
+
+
+@pytest.fixture(scope="module")
+def world():
+    return make_world(1024, 3.0)
+
+
+def test_block_matches_exact_on_straight_path(world):
+    """With sparse keyframes, lookahead trajectories ≈ exact trajectories."""
+    poses = straight_path(33, step=6.0)
+    frames = render_sequence(world, H, W, poses)
+    gt = np.array([(p[0] - 512.0, p[1] - 512.0) for p in poses]) * 0.01
+
+    exact = make_engine(_config(1, to_find_loop=False))
+    s1, o1 = exact.run_sequence(exact.init_state(), frames)
+
+    block = make_engine(_config(4, to_find_loop=False))
+    s4, o4 = block.run_sequence(block.init_state(), frames)
+
+    assert o4.pose.shape == o1.pose.shape
+    assert o4.tracked.all()
+    # Same keyframe count within 1 and trajectories within a pixel or two.
+    assert abs(int(o4.inserted.sum()) - int(o1.inserted.sum())) <= 2
+    err = np.linalg.norm(o4.pose[:, :2] - gt, axis=1)
+    assert err.max() < 0.03
+    # Per-frame poses match the exact engine to within ~half a keyframe's
+    # quantization (the delayed-target deviation).
+    np.testing.assert_allclose(o4.pose, o1.pose, atol=0.06)
+
+
+def test_block_loop_closure_fires(world):
+    poses = square_loop_path(side_steps=25, step=5.7, tail=30)
+    frames = render_sequence(world, H, W, poses)
+    engine = make_engine(_config(4))
+    state, outs = engine.run_sequence(engine.init_state(), frames)
+    assert outs.tracked.all()
+    assert outs.loop_found.sum() >= 1
+    assert outs.optimized.sum() >= 1
+    gt = np.array([(p[0] - 512.0, p[1] - 512.0) for p in poses]) * 0.01
+    idx = np.where(outs.keyframe_slot >= 0)[0]
+    slots = outs.keyframe_slot[idx]
+    bank = np.asarray(state.bank.poses)
+    err = np.linalg.norm(bank[slots][:, :2] - gt[idx], axis=1)
+    assert err.max() < 0.15
+
+
+def test_block_padding_lanes_are_dropped(world):
+    # 30 frames: frame 0 + 29 rest → blocks of 8 → pad 3 lanes.
+    poses = straight_path(30, step=6.0)
+    frames = render_sequence(world, H, W, poses)
+    engine = make_engine(_config(8, to_find_loop=False))
+    state, outs = engine.run_sequence(engine.init_state(), frames)
+    assert outs.pose.shape[0] == 30
+    assert outs.tracked.all()
+    # frame ids are contiguous 0..29
+    np.testing.assert_array_equal(outs.frame_id, np.arange(30))
