@@ -188,9 +188,15 @@ def add_keyframe(
     slot = jnp.minimum(bank.count, bank.capacity - 1)
     fits = bank.count < bank.capacity
     do = jnp.logical_and(enabled, fits)
+    # Masked write as an out-of-bounds scatter with mode='drop': a disabled
+    # insert writes nothing and an enabled one updates ONE slot in place.
+    # (A `jnp.where(do, buf.at[slot].set(v), buf)` select would materialize
+    # a full copy of every bank field per insert attempt — gigabytes of HBM
+    # traffic per scanned block at 256-slot capacity.)
+    wslot = jnp.where(do, slot, bank.capacity)
 
     def wr(buf, val):
-        return jnp.where(do, buf.at[slot].set(val.astype(buf.dtype)), buf)
+        return buf.at[wslot].set(val.astype(buf.dtype), mode="drop")
 
     images = bank.images
     if images.shape[1]:
@@ -239,9 +245,10 @@ def add_edge(
     slot = jnp.minimum(edges.count, edges.capacity - 1)
     fits = edges.count < edges.capacity
     do = jnp.logical_and(enabled, fits)
+    wslot = jnp.where(do, slot, edges.capacity)  # OOB scatter drops (no copy)
 
     def wr(buf, val):
-        return jnp.where(do, buf.at[slot].set(jnp.asarray(val, buf.dtype)), buf)
+        return buf.at[wslot].set(jnp.asarray(val, buf.dtype), mode="drop")
 
     return EdgeStore(
         from_slot=wr(edges.from_slot, from_slot),

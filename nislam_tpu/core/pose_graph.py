@@ -50,7 +50,10 @@ class SolverConfig:
     mu_factor: float = 10.0
     mu_min: float = 1e-9
     mu_max: float = 1e8
-    rtol: float = 1e-9  # relative cost-decrease stop
+    # Relative cost-decrease stop — Ceres' function_tolerance default (1e-6,
+    # what the reference's Solve inherits); 1e-9 would run every solve to
+    # max_iterations.
+    rtol: float = 1e-6
     estimate_scale: bool = False  # with-scale variant
 
 
