@@ -61,6 +61,7 @@ def main():
     static = np.broadcast_to(frames[0], frames.shape).copy()
 
     def run(fr, label, reps=3):
+        fr = jax.block_until_ready(jnp.asarray(fr))  # pre-stage on device
         ts = []
         for _ in range(reps):
             state = engine.init_state()
@@ -71,6 +72,11 @@ def main():
         print(f"{label}: {min(ts):.3f}s best of {reps} ({[f'{t:.2f}' for t in ts]}) "
               f"kf={n_kf} loops={int(outs.loop_found.sum())} "
               f"opt={int(outs.optimized.sum())}", flush=True)
+
+    t0 = time.time()
+    x = jnp.asarray(frames)
+    np.asarray(x[0, 0, 0])  # fence via readback (tunnel-safe)
+    print(f"h2d {frames.nbytes/1e6:.0f}MB: {time.time() - t0:.2f}s", flush=True)
 
     t0 = time.time()
     state = engine.init_state()
