@@ -203,6 +203,13 @@ def cmd_pack(args: argparse.Namespace) -> int:
 
 
 def main(argv=None) -> int:
+    # Honor JAX_PLATFORMS even when a sitecustomize hook force-registers an
+    # accelerator backend (config.update wins over the preset) — same
+    # workaround as bench.py.
+    if os.environ.get("JAX_PLATFORMS"):
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     parser = argparse.ArgumentParser(prog="nislam_tpu")
     sub = parser.add_subparsers(dest="cmd", required=True)
     run_p = sub.add_parser("run", help="run SLAM over a dataset (main.cpp parity)")

@@ -68,6 +68,13 @@ class MapConfig:
     keyframe_capacity: int = 512
     edge_capacity: int = 2048
     store_images: bool = True  # needed by the stitcher; disable to save HBM
+    # Overflow policy when the bank is full (the reference grows unboundedly,
+    # include/map.h:70-76): "ring" evicts the oldest non-base keyframe
+    # (slot 0 — the pinned base — and the current tracking target are
+    # spared) and disables edges/pending matches referencing the reused
+    # slot; "drop" discards the new keyframe (r1 behavior, silently stops
+    # map growth).
+    eviction: str = "ring"
     # Cache per-keyframe correlation filters in the bank (2× spectra HBM).
     # Tracking always uses the cached filter of the current target (carried
     # in TrackState, no bank cost); this flag only affects loop-closure
@@ -121,10 +128,20 @@ class OptimizerConfig:
     (``PoseGraph2dErrorTermWithScale``) that the reference wires up but
     leaves disabled (/root/reference/src/map_builder.cc:256-257); the scale
     is free iff the camera height is flagged inaccurate.
+
+    ``inline`` compiles the LM solve *into* the per-frame program (exact
+    reference trigger timing, map_builder.cc:108-116 — but the dense
+    ``(3K)²`` factorization then bloats the hot program's compile).  The
+    default defers solves to a separately-jitted program invoked between
+    scan chunks by the sequence driver: the reference solves rarely (≥2
+    pending matches), so chunk-boundary solving is semantics-preserving up
+    to trigger timing; single pending matches are kept rather than
+    discarded (deviation from map_builder.cc:114-115's clear-on-<2).
     """
 
     max_iterations: int = 100
     with_scale: bool = False
+    inline: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -243,6 +260,7 @@ def load_config(path: str, *, load_camera: bool = True) -> SlamConfig:
         edge_capacity=int(mpn.get("edge_capacity", 2048)),
         store_images=bool(mpn.get("store_images", True)),
         cache_filters=bool(mpn.get("cache_filters", True)),
+        eviction=str(mpn.get("eviction", "ring")),
     )
 
     lcn = node.get("loop_closure", {})
@@ -269,6 +287,7 @@ def load_config(path: str, *, load_camera: bool = True) -> SlamConfig:
     opt = OptimizerConfig(
         max_iterations=int(opn.get("max_iterations", 100)),
         with_scale=bool(opn.get("with_scale", False)),
+        inline=bool(opn.get("inline", False)),
     )
 
     svn = node.get("saving", {})

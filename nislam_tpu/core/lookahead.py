@@ -36,7 +36,12 @@ import jax.numpy as jnp
 from nislam_tpu.core.camera import CameraOps
 from nislam_tpu.core.config import SlamConfig
 from nislam_tpu.core.loop_closure import LoopResult, find_loop_closure
-from nislam_tpu.core.map_store import EDGE_KCC, add_edge, add_keyframe
+from nislam_tpu.core.map_store import (
+    EDGE_KCC,
+    add_edge,
+    add_keyframe,
+    invalidate_edges,
+)
 from nislam_tpu.core.se2 import absolute_pose, relative_pose
 from nislam_tpu.core.slam import (
     PendingLoops,
@@ -44,6 +49,7 @@ from nislam_tpu.core.slam import (
     StepOutput,
     TrackState,
     _flush_pending_loops,
+    _invalidate_pending,
 )
 from nislam_tpu.ops.fft import c2r, r2c
 from nislam_tpu.ops.registration import (
@@ -62,6 +68,7 @@ def slam_step_block(
     config: SlamConfig,
     cf_ops: CFOps,
     camera: CameraOps,
+    defer_optimize: bool = False,
 ) -> Tuple[SlamState, StepOutput]:
     """Process a block of k frames; state must already be initialized
     (frame 0 goes through the single-frame step)."""
@@ -114,7 +121,7 @@ def slam_step_block(
     )
 
     # ---- 2. sequential commit (unrolled: tiny scalar ops) ---------------
-    bank, edges = state.bank, state.edges
+    bank, edges, pending = state.bank, state.edges, state.pending
     # chain state (advances on insertion within the block)
     last_cf = track.last_cf_pose
     last_cf_real = track.last_cf_real_pose
@@ -142,8 +149,7 @@ def slam_step_block(
         )
         new_distance = distance + jnp.where(insert, d, 0.0)
 
-        fits = bank.count < bank.capacity
-        bank, slot = add_keyframe(
+        bank, slot, stored, evicted = add_keyframe(
             bank,
             fft=fft_p[i],
             polar_fft=polar_p[i],
@@ -155,9 +161,11 @@ def slam_step_block(
             distance=new_distance,
             grid_scale=config.map.grid_scale,
             enabled=insert,
+            evict=config.map.eviction == "ring",
+            protect_slot=last_slot,
         )
-        stored = jnp.logical_and(insert, fits)
         rel_cf_real = relative_pose(last_cf_real, cur_cf_real)
+        edges = invalidate_edges(edges, evicted)
         edges = add_edge(
             edges,
             from_slot=last_slot,
@@ -166,6 +174,7 @@ def slam_step_block(
             edge_type=EDGE_KCC,
             enabled=stored,
         )
+        pending = _invalidate_pending(pending, evicted)
 
         cf_out = relative_pose(
             camera.image_plane_to_robot(jnp.zeros(3, jnp.float32)),
@@ -196,7 +205,7 @@ def slam_step_block(
         slot_last = jnp.where(stored, slot, slot_last)
         any_insert = jnp.logical_or(any_insert, insert)
 
-    state = dataclasses.replace(state, bank=bank, edges=edges)
+    state = dataclasses.replace(state, bank=bank, edges=edges, pending=pending)
 
     # ---- 3. block epilogue ----------------------------------------------
     # Tracking target ← newest inserted keyframe (dynamic lane gather).
@@ -267,12 +276,15 @@ def slam_step_block(
     )
     state = dataclasses.replace(state, pending=pending)
 
-    state, optimized = jax.lax.cond(
-        jnp.logical_and(any_insert, ~loop_found),
-        lambda st: _flush_pending_loops(st, config, camera),
-        lambda st: (st, jnp.asarray(False)),
-        state,
-    )
+    if defer_optimize:
+        optimized = jnp.asarray(False)
+    else:
+        state, optimized = jax.lax.cond(
+            jnp.logical_and(any_insert, ~loop_found),
+            lambda st: _flush_pending_loops(st, config, camera),
+            lambda st: (st, jnp.asarray(False)),
+            state,
+        )
 
     # Patch block-level flags onto the last-inserted lane's output.
     out = jax.tree.map(lambda *xs: jnp.stack(xs), *outs)

@@ -19,14 +19,19 @@ Key semantic choices carried over from the reference:
   (/root/reference/src/map.cc:18-21).
 
 Unlike the reference's unbounded RAM growth (SURVEY §5), capacities are
-explicit; overflow is counted and new keyframes are dropped (tracking
-continues — the dropped frame still becomes the registration target).
+explicit.  Bank overflow policy (``MapConfig.eviction``): **ring** (default)
+evicts the oldest non-base keyframe — slot 0 (the optimizer's pinned base,
+/root/reference/src/map.cc:18-21) and the current tracking target are spared
+— reusing its slot for the new record and invalidating edges/pending matches
+that reference it; **drop** discards the new keyframe (tracking continues —
+the dropped frame still becomes the registration target).  ``overflow``
+counts evictions (ring) or drops (drop).
 """
 
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -65,8 +70,9 @@ class KeyframeBank:
     grid_xy: jnp.ndarray  # (K, 2) i32 — spatial-hash cell captured at insertion
     frame_ids: jnp.ndarray  # (K,) i32 — global input-frame id
     distances: jnp.ndarray  # (K,) f32 — accumulated travel distance
-    count: jnp.ndarray  # () i32 — number of live slots
-    overflow: jnp.ndarray  # () i32 — keyframes dropped because the bank was full
+    count: jnp.ndarray  # () i32 — number of live slots (saturates at capacity)
+    overflow: jnp.ndarray  # () i32 — evictions (ring) / drops (drop) since start
+    evict_cursor: jnp.ndarray  # () i32 — ring position over slots 1..K-1
 
     @property
     def capacity(self) -> int:
@@ -94,6 +100,7 @@ class EdgeStore:
     T: jnp.ndarray  # (E, 3) f32 — camera-frame (x, y, θ)
     info: jnp.ndarray  # (E, 3, 3) f32 — information matrix (identity in practice)
     types: jnp.ndarray  # (E,) i32 — EDGE_KCC / EDGE_LOOP
+    alive: jnp.ndarray  # (E,) bool — written and not invalidated by eviction
     count: jnp.ndarray  # () i32
     overflow: jnp.ndarray  # () i32
 
@@ -102,7 +109,7 @@ class EdgeStore:
         return self.from_slot.shape[0]
 
     def valid_mask(self) -> jnp.ndarray:
-        return jnp.arange(self.capacity) < self.count
+        return self.alive
 
 
 def make_keyframe_bank(cf: CFConfig, map_cfg: MapConfig) -> KeyframeBank:
@@ -124,6 +131,7 @@ def make_keyframe_bank(cf: CFConfig, map_cfg: MapConfig) -> KeyframeBank:
         distances=jnp.zeros((k,), jnp.float32),
         count=jnp.zeros((), jnp.int32),
         overflow=jnp.zeros((), jnp.int32),
+        evict_cursor=jnp.zeros((), jnp.int32),
     )
 
 
@@ -135,6 +143,7 @@ def make_edge_store(map_cfg: MapConfig) -> EdgeStore:
         T=jnp.zeros((e, 3), jnp.float32),
         info=jnp.zeros((e, 3, 3), jnp.float32),
         types=jnp.zeros((e,), jnp.int32),
+        alive=jnp.zeros((e,), bool),
         count=jnp.zeros((), jnp.int32),
         overflow=jnp.zeros((), jnp.int32),
     )
@@ -147,6 +156,13 @@ def grid_location(xy: jnp.ndarray, grid_scale: float) -> jnp.ndarray:
     (/root/reference/src/map.cc:81-85): truncation toward zero.
     """
     return jnp.trunc(xy / grid_scale).astype(jnp.int32)
+
+
+class InsertResult(NamedTuple):
+    bank: "KeyframeBank"
+    slot: jnp.ndarray  # () i32 — slot written (or would-be slot if not stored)
+    stored: jnp.ndarray  # () bool — the record actually landed in the bank
+    evicted: jnp.ndarray  # () i32 — slot whose previous record was evicted, else -1
 
 
 def add_keyframe(
@@ -162,13 +178,18 @@ def add_keyframe(
     distance: jnp.ndarray,
     grid_scale: float,
     enabled: jnp.ndarray,
-) -> Tuple[KeyframeBank, jnp.ndarray]:
-    """Masked insert of one keyframe; returns ``(bank, slot)``.
+    evict: bool = True,
+    protect_slot: jnp.ndarray | None = None,
+) -> InsertResult:
+    """Masked insert of one keyframe.
 
     ``enabled`` gates the whole write (the jit-friendly replacement for the
-    reference's Python-level branch).  When the bank is full the record is
-    dropped and ``overflow`` incremented; the returned slot is then the
-    would-be slot (clamped), which callers must not treat as stored.
+    reference's Python-level branch).  When the bank is full: with ``evict``
+    (static, from ``MapConfig.eviction == "ring"``) the oldest non-base slot
+    on the ring — skipping ``protect_slot``, the current tracking target —
+    is reused and reported in ``evicted`` (callers must invalidate edges and
+    pending matches referencing it, :func:`invalidate_edges`); without it
+    the record is dropped (``stored=False``).  ``overflow`` counts either.
 
     Spectra/filters may be complex (as produced by ``compute_intermedium`` /
     ``compute_keyframe_filters``) or already float pairs.  Omitting the
@@ -185,15 +206,31 @@ def add_keyframe(
     polar_fft = as_pair(polar_fft)
     filt = as_pair(filt)
     filt_polar = as_pair(filt_polar)
-    slot = jnp.minimum(bank.count, bank.capacity - 1)
-    fits = bank.count < bank.capacity
-    do = jnp.logical_and(enabled, fits)
+    k = bank.capacity
+    fits = bank.count < k
+    cursor = bank.evict_cursor
+    if evict and k > 2:
+        victim = 1 + jnp.mod(cursor, k - 1)
+        if protect_slot is not None:
+            skip = victim == protect_slot
+            victim = jnp.where(skip, 1 + jnp.mod(cursor + 1, k - 1), victim)
+        else:
+            skip = jnp.asarray(False)
+        slot = jnp.where(fits, bank.count, victim)
+        do = enabled
+        evicting = jnp.logical_and(enabled, ~fits)
+        cursor = cursor + jnp.where(evicting, 1 + skip.astype(jnp.int32), 0)
+        evicted = jnp.where(evicting, slot, -1)
+    else:
+        slot = jnp.minimum(bank.count, k - 1)
+        do = jnp.logical_and(enabled, fits)
+        evicted = jnp.asarray(-1, jnp.int32)
     # Masked write as an out-of-bounds scatter with mode='drop': a disabled
     # insert writes nothing and an enabled one updates ONE slot in place.
     # (A `jnp.where(do, buf.at[slot].set(v), buf)` select would materialize
     # a full copy of every bank field per insert attempt — gigabytes of HBM
     # traffic per scanned block at 256-slot capacity.)
-    wslot = jnp.where(do, slot, bank.capacity)
+    wslot = jnp.where(do, slot, k)
 
     def wr(buf, val):
         return buf.at[wslot].set(val.astype(buf.dtype), mode="drop")
@@ -201,8 +238,8 @@ def add_keyframe(
     images = bank.images
     if images.shape[1]:
         images = wr(images, image)
-    return (
-        KeyframeBank(
+    return InsertResult(
+        bank=KeyframeBank(
             fft=wr(bank.fft, fft),
             polar_fft=wr(bank.polar_fft, polar_fft),
             filt=(
@@ -220,11 +257,14 @@ def add_keyframe(
             grid_xy=wr(bank.grid_xy, grid_location(pose[:2], grid_scale)),
             frame_ids=wr(bank.frame_ids, frame_id),
             distances=wr(bank.distances, distance),
-            count=bank.count + do.astype(jnp.int32),
+            count=bank.count + jnp.logical_and(do, fits).astype(jnp.int32),
             overflow=bank.overflow
             + jnp.logical_and(enabled, ~fits).astype(jnp.int32),
+            evict_cursor=cursor,
         ),
-        slot,
+        slot=slot,
+        stored=do,
+        evicted=evicted,
     )
 
 
@@ -256,9 +296,23 @@ def add_edge(
         T=wr(edges.T, T),
         info=wr(edges.info, info),
         types=wr(edges.types, edge_type),
+        alive=wr(edges.alive, jnp.asarray(True)),
         count=edges.count + do.astype(jnp.int32),
         overflow=edges.overflow + jnp.logical_and(enabled, ~fits).astype(jnp.int32),
     )
+
+
+def invalidate_edges(edges: EdgeStore, evicted_slot: jnp.ndarray) -> EdgeStore:
+    """Disable every edge referencing an evicted bank slot (no-op for -1).
+
+    Ring eviction reuses the slot for a new keyframe; constraints built
+    against the old record would silently link wrong poses otherwise.
+    """
+    ref = jnp.logical_or(
+        edges.from_slot == evicted_slot, edges.to_slot == evicted_slot
+    )
+    kill = jnp.logical_and(ref, evicted_slot >= 0)
+    return dataclasses.replace(edges, alive=jnp.logical_and(edges.alive, ~kill))
 
 
 def frames_in_neighborhood(

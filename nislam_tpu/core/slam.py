@@ -38,6 +38,7 @@ from nislam_tpu.core.map_store import (
     KeyframeBank,
     add_edge,
     add_keyframe,
+    invalidate_edges,
     make_edge_store,
     make_keyframe_bank,
 )
@@ -45,6 +46,7 @@ from nislam_tpu.core.pose_graph import (
     PoseGraphProblem,
     SolverConfig,
     solve_pose_graph,
+    sqrt_information,
 )
 from nislam_tpu.core.se2 import absolute_pose, relative_pose
 from nislam_tpu.ops.fft import c2r, r2c
@@ -135,12 +137,19 @@ class SlamEngine:
     @functools.cached_property
     def step(self):
         """``(SlamState, image_f32[H,W]) -> (SlamState, StepOutput)`` jitted
-        with the state donated (in-place HBM update)."""
+        with the state donated (in-place HBM update).  With
+        ``optimizer.inline`` the LM solve is compiled into this program
+        (exact reference trigger timing); otherwise it lives in
+        :attr:`optimize`, which the driver invokes between chunks."""
         config = self.config
+        defer = not config.optimizer.inline
 
         @functools.partial(jax.jit, donate_argnums=0)
         def fn(state, image, cf_ops, camera):
-            return slam_step(state, image, config=config, cf_ops=cf_ops, camera=camera)
+            return slam_step(
+                state, image, config=config, cf_ops=cf_ops, camera=camera,
+                defer_optimize=defer,
+            )
 
         return lambda state, image: fn(state, image, self.cf_ops, self.camera)
 
@@ -149,11 +158,15 @@ class SlamEngine:
         """``(SlamState, images[N,H,W]) -> (SlamState, StepOutput[N])`` — an
         on-device ``lax.scan`` over a chunk of frames."""
         config = self.config
+        defer = not config.optimizer.inline
 
         @functools.partial(jax.jit, donate_argnums=0)
         def run(state, images, cf_ops, camera):
             def body(st, img):
-                return slam_step(st, img, config=config, cf_ops=cf_ops, camera=camera)
+                return slam_step(
+                    st, img, config=config, cf_ops=cf_ops, camera=camera,
+                    defer_optimize=defer,
+                )
 
             return jax.lax.scan(body, state, images)
 
@@ -168,13 +181,15 @@ class SlamEngine:
         from nislam_tpu.core.lookahead import slam_step_block
 
         config = self.config
+        defer = not config.optimizer.inline
 
         @functools.partial(jax.jit, donate_argnums=0)
         def run(state, images, valid, cf_ops, camera):
             def body(st, xs):
                 imgs, v = xs
                 return slam_step_block(
-                    st, imgs, v, config=config, cf_ops=cf_ops, camera=camera
+                    st, imgs, v, config=config, cf_ops=cf_ops, camera=camera,
+                    defer_optimize=defer,
                 )
 
             return jax.lax.scan(body, state, (images, valid))
@@ -183,39 +198,87 @@ class SlamEngine:
             state, images, valid, self.cf_ops, self.camera
         )
 
-    def run_sequence(self, state, images, *, numpy_outputs: bool = True):
+    @functools.cached_property
+    def optimize(self):
+        """``(SlamState) -> (SlamState, ran)`` — the deferred pose-graph
+        trigger (:func:`maybe_optimize`), jitted separately so the dense LM
+        factorization never bloats the per-frame program."""
+        config = self.config
+
+        @functools.partial(jax.jit, donate_argnums=0)
+        def fn(state, camera):
+            return maybe_optimize(state, config=config, camera=camera)
+
+        return lambda state: fn(state, self.camera)
+
+    def run_sequence(
+        self,
+        state,
+        images,
+        *,
+        numpy_outputs: bool = True,
+        chunk_frames: int = 64,
+    ):
         """Host-side driver over a whole (N, H, W) sequence.
 
-        Uses exact per-frame semantics when ``config.lookahead <= 1``,
-        otherwise the block pipeline: frame 0 through the single-frame step
-        (it may be the initializer), the rest in lookahead-sized blocks
-        (padded with masked lanes).  Returns ``(state, StepOutput[N])``.
+        Frames run through the scan program in chunks of ``chunk_frames``
+        (per-frame when ``lookahead <= 1``, lookahead-sized blocks
+        otherwise); in deferred-optimize mode (the default) the separately-
+        jitted :attr:`optimize` program runs between chunks — a single
+        extra dispatch per chunk whose ``lax.cond`` body executes only when
+        ≥2 loop matches are pending (the reference solves rarely:
+        map_builder.cc:108-116).  Returns ``(state, StepOutput[N])``.
         """
         import numpy as np
 
         k = max(1, self.config.lookahead)
+        deferred = not self.config.optimizer.inline
         images = jnp.asarray(images)
         n = images.shape[0]
+        outs_list = []
+
         if k == 1:
-            state, outs = self.run_chunk(state, images)
+            if not deferred:
+                state, outs = self.run_chunk(state, images)
+            else:
+                c = min(chunk_frames, n)
+                n_chunks = n // c
+                for i in range(n_chunks):
+                    state, o = self.run_chunk(state, images[i * c:(i + 1) * c])
+                    outs_list.append(o)
+                    state, _ = self.optimize(state)
+                for j in range(n_chunks * c, n):  # remainder, per frame
+                    state, o = self.step(state, images[j])
+                    outs_list.append(jax.tree.map(lambda x: x[None], o))
+                    state, _ = self.optimize(state)
+                outs = jax.tree.map(
+                    lambda *xs: jnp.concatenate(xs), *outs_list
+                )
         else:
             state, out0 = self.step(state, images[0])
+            if deferred:
+                state, _ = self.optimize(state)
             rest = images[1:]
             m = rest.shape[0]
+            g = max(1, chunk_frames // k)  # blocks per compiled call
             nb = -(-m // k)
-            pad = nb * k - m
+            ng = -(-nb // g)
+            pad = ng * g * k - m
             if pad:
                 rest = jnp.concatenate(
                     [rest, jnp.repeat(rest[-1:], pad, axis=0)], axis=0
                 )
-            valid = jnp.arange(nb * k) < m
-            state, bouts = self.run_blocks(
-                state,
-                rest.reshape(nb, k, *images.shape[1:]),
-                valid.reshape(nb, k),
-            )
+            valid = (jnp.arange(ng * g * k) < m).reshape(ng, g, k)
+            blocks = rest.reshape(ng, g, k, *images.shape[1:])
+            bouts_list = []
+            for i in range(ng):
+                state, bo = self.run_blocks(state, blocks[i], valid[i])
+                bouts_list.append(bo)
+                if deferred:
+                    state, _ = self.optimize(state)
+            bouts = jax.tree.map(lambda *xs: jnp.concatenate(xs), *bouts_list)
             flat = jax.tree.map(
-                lambda x: x.reshape(nb * k, *x.shape[2:])[:m], bouts
+                lambda x: x.reshape(ng * g * k, *x.shape[2:])[:m], bouts
             )
             outs = jax.tree.map(
                 lambda a, b: jnp.concatenate([a[None], b]), out0, flat
@@ -295,16 +358,21 @@ def _optimize_map(
     (:240); information is the stored matrix (identity); base slot pinned.
     """
     T_robot = camera.camera_to_robot(edges.T)
+    # Whiten via the information matrix's Cholesky factor, exactly like the
+    # reference (pose_graph_2d.cc:74: information.llt().matrixL()).  Dead
+    # slots hold zero info (Cholesky → NaN); substitute identity there —
+    # their residuals are masked out anyway.
+    mask = edges.valid_mask()
+    eye = jnp.eye(3, dtype=jnp.float32)
+    safe_info = jnp.where(mask[:, None, None], edges.info, eye)
     prob = PoseGraphProblem(
         poses=bank.poses,
         pose_mask=bank.valid_mask(),
         from_slot=edges.from_slot,
         to_slot=edges.to_slot,
         T=T_robot,
-        # Identity information → identity sqrt factor; general info would use
-        # pose_graph.sqrt_information (kept out of the hot path).
-        sqrt_info=edges.info,
-        edge_mask=edges.valid_mask(),
+        sqrt_info=sqrt_information(safe_info),
+        edge_mask=mask,
     )
     cfg = SolverConfig(
         max_iterations=config.optimizer.max_iterations,
@@ -319,55 +387,107 @@ def _optimize_map(
     return poses, cost
 
 
+def _invalidate_pending(pending: PendingLoops, evicted: jnp.ndarray) -> PendingLoops:
+    """Void accumulated matches that reference an evicted bank slot (-1: no-op).
+
+    The entry keeps its position (count bookkeeping stays trivial) but its
+    ``loop_slot`` becomes -1, which the flush treats as disabled.
+    """
+    p = pending.loop_slot.shape[0]
+    live = jnp.arange(p) < pending.count
+    ref = jnp.logical_or(
+        pending.loop_slot == evicted, pending.cur_slot == evicted
+    )
+    kill = jnp.logical_and(jnp.logical_and(ref, live), evicted >= 0)
+    return dataclasses.replace(
+        pending, loop_slot=jnp.where(kill, -1, pending.loop_slot)
+    )
+
+
+def _add_loop_edges_and_solve(state: SlamState, config: SlamConfig, camera: CameraOps) -> SlamState:
+    """AddLoopEdges + OptimizeMap + pending clear (map_builder.cc:108-116)."""
+    pending = state.pending
+    bank, edges = state.bank, state.edges
+    # AddLoopEdges (map_builder.cc:184-194): image-plane → camera frame.
+    p = pending.loop_slot.shape[0]
+    live = jnp.arange(p) < pending.count
+    rel_cam = camera.image_plane_to_camera(pending.rel_pose)
+
+    def add_one(i, es):
+        return add_edge(
+            es,
+            from_slot=pending.loop_slot[i],
+            to_slot=pending.cur_slot[i],
+            T=rel_cam[i],
+            edge_type=EDGE_LOOP,
+            # loop_slot -1 marks a match voided by ring eviction
+            enabled=jnp.logical_and(live[i], pending.loop_slot[i] >= 0),
+        )
+
+    edges = jax.lax.fori_loop(0, p, add_one, edges)
+    poses, _ = _optimize_map(bank, edges, config, camera)
+    bank = dataclasses.replace(bank, poses=poses)
+    cleared = dataclasses.replace(pending, count=jnp.zeros((), jnp.int32))
+    return dataclasses.replace(state, bank=bank, edges=edges, pending=cleared)
+
+
 def _flush_pending_loops(
     state: SlamState, config: SlamConfig, camera: CameraOps
 ) -> Tuple[SlamState, jnp.ndarray]:
-    """AddLoopEdges + OptimizeMap + pending clear; returns (state, ran).
+    """Inline-mode trigger: solve iff ≥2 pending, then clear; returns (state, ran).
 
     The reference clears pending matches even when <2 accumulated
     (map_builder.cc:114-115) — single unconfirmed matches are discarded.
     """
-    pending = state.pending
-    run = pending.count >= 2
-
-    def do_optimize(bank_edges):
-        bank, edges = bank_edges
-        # AddLoopEdges (map_builder.cc:184-194): image-plane → camera frame.
-        p = pending.loop_slot.shape[0]
-        for_each = jnp.arange(p)
-        live = for_each < pending.count
-        rel_cam = camera.image_plane_to_camera(pending.rel_pose)
-
-        def add_one(i, es):
-            return add_edge(
-                es,
-                from_slot=pending.loop_slot[i],
-                to_slot=pending.cur_slot[i],
-                T=rel_cam[i],
-                edge_type=EDGE_LOOP,
-                enabled=live[i],
-            )
-
-        edges = jax.lax.fori_loop(0, p, add_one, edges)
-        poses, _ = _optimize_map(bank, edges, config, camera)
-        bank = dataclasses.replace(bank, poses=poses)
-        return bank, edges
-
-    bank, edges = jax.lax.cond(
-        run, do_optimize, lambda be: be, (state.bank, state.edges)
+    run = state.pending.count >= 2
+    state = jax.lax.cond(
+        run,
+        lambda st: _add_loop_edges_and_solve(st, config, camera),
+        lambda st: st,
+        state,
     )
     cleared = dataclasses.replace(state.pending, count=jnp.zeros((), jnp.int32))
-    return (
-        dataclasses.replace(state, bank=bank, edges=edges, pending=cleared),
-        run,
-    )
+    return dataclasses.replace(state, pending=cleared), run
+
+
+def maybe_optimize(
+    state: SlamState, *, config: SlamConfig, camera: CameraOps
+) -> Tuple[SlamState, jnp.ndarray]:
+    """Deferred-mode trigger, invoked between scan chunks by the driver.
+
+    Solves iff ≥2 matches are pending; unlike the reference's
+    ``CheckAndOptimize`` (map_builder.cc:114-115), single pending matches
+    are *kept* for a later pairing rather than discarded (deviation
+    documented at ``OptimizerConfig.inline``).  After a solve the tracking
+    chain is re-derived from the optimized pose of the current target —
+    ``UpdateValueAfterLoop`` (map_builder.cc:275-279) applied at the chunk
+    boundary instead of mid-frame.
+    """
+
+    def do(st):
+        st = _add_loop_edges_and_solve(st, config, camera)
+        opt = st.bank.poses[st.track.last_slot]
+        opt_cam = camera.robot_to_camera(opt)
+        tr = dataclasses.replace(
+            st.track,
+            last_pose=opt,
+            last_cf_real_pose=opt_cam,
+            last_cf_pose=camera.camera_to_image_plane(opt_cam),
+        )
+        return dataclasses.replace(st, track=tr)
+
+    run = state.pending.count >= 2
+    state = jax.lax.cond(run, do, lambda st: st, state)
+    return state, run
 
 
 def check_and_optimize_final(
     state: SlamState, *, config: SlamConfig, camera: CameraOps
 ) -> Tuple[SlamState, jnp.ndarray]:
     """Public end-of-sequence trigger (main.cpp:68-69)."""
-    return _flush_pending_loops(state, config, camera)
+    state, ran = maybe_optimize(state, config=config, camera=camera)
+    cleared = dataclasses.replace(state.pending, count=jnp.zeros((), jnp.int32))
+    return dataclasses.replace(state, pending=cleared), ran
 
 
 # ---------------------------------------------------------------------------
@@ -406,7 +526,7 @@ def slam_step(
         track = state.track
         zero = jnp.zeros(3, jnp.float32)
         fi, fp = compute_keyframe_filters(fft, polar, cf_ops)
-        bank, slot = add_keyframe(
+        bank, slot, _, _ = add_keyframe(
             state.bank,
             fft=fft,
             polar_fft=polar,
@@ -418,6 +538,7 @@ def slam_step(
             distance=jnp.zeros((), jnp.float32),
             grid_scale=config.map.grid_scale,
             enabled=jnp.asarray(True),
+            evict=config.map.eviction == "ring",
         )
         track = TrackState(
             last_fft=c2r(fft),
@@ -499,7 +620,7 @@ def slam_step(
             ),
             lambda: (track.last_filt, track.last_filt_polar),
         )
-        bank, slot = add_keyframe(
+        bank, slot, stored, evicted = add_keyframe(
             state.bank,
             fft=fft,
             polar_fft=polar,
@@ -511,17 +632,27 @@ def slam_step(
             distance=new_distance,
             grid_scale=config.map.grid_scale,
             enabled=insert,
+            evict=config.map.eviction == "ring",
+            protect_slot=track.last_slot,
         )
-        stored = jnp.logical_and(insert, state.bank.count < state.bank.capacity)
+        # Constraints referencing the evicted slot are void (its record was
+        # just replaced) — invalidate BEFORE appending the new edge, which
+        # legitimately targets the reused slot.
+        edges = invalidate_edges(state.edges, evicted)
         edges = add_edge(
-            state.edges,
+            edges,
             from_slot=track.last_slot,
             to_slot=slot,
             T=rel_cf_real,
             edge_type=EDGE_KCC,
             enabled=stored,
         )
-        state = dataclasses.replace(state, bank=bank, edges=edges)
+        state = dataclasses.replace(
+            state,
+            bank=bank,
+            edges=edges,
+            pending=_invalidate_pending(state.pending, evicted),
+        )
 
         # --- Loop closure (map_builder.cc:63, §2.2) ----------------------
         def do_search(_):

@@ -5,22 +5,45 @@ single-precision r2c/c2r transforms over column-major Eigen arrays with the
 axis order reversed in the FFTW call, storing the non-negative half of the
 spectrum along the *row* axis, and normalizing the inverse by ``1/N``.
 
-We use ``jnp.fft.rfft2``/``irfft2`` over row-major ``(..., H, W)`` arrays
-(half spectrum along the *last* axis).  Every consumer of these spectra in
-the KCC pipeline is either an elementwise spectral product followed by an
-inverse transform (circular correlation) or the magnitude spectrum of a real
-image — both are invariant to which axis carries the halved spectrum, so the
-spatial-domain results match the reference bit-for-bit up to float rounding.
+We use the ``rfft2``/``irfft2`` convention over row-major ``(..., H, W)``
+arrays (half spectrum along the *last* axis).  Every consumer of these
+spectra in the KCC pipeline is either an elementwise spectral product
+followed by an inverse transform (circular correlation) or the magnitude
+spectrum of a real image — both are invariant to which axis carries the
+halved spectrum, so the spatial-domain results match the reference
+bit-for-bit up to float rounding.
 
 The inverse transform normalizes by ``1/(H*W)`` exactly like the reference's
 ``IFFT`` (``src/correlation_flow.cc:76``: ``x / x.size()``), which is also
 numpy's default ``irfft2`` normalization.
+
+Two interchangeable backends:
+
+- ``xla`` — ``jnp.fft`` (the FFT HLO).  Exact, but on the TPU backends
+  available here it is slow to run (measured ~1.5 ms for one 256×256
+  roundtrip) and pathologically slow to compile (minutes for the first FFT
+  program).
+- ``mm`` — **matmul-DFT**: the DFT applied as dense (real-pair) matrix
+  products on the MXU, with the conjugate-symmetric half-spectrum folded
+  into the inverse matrix.  At KCC problem sizes (240–720 per axis) the
+  O(N·M·(N+M)) matmul flops are noise next to memory traffic, the MXU
+  executes them at full tilt, and compiles take seconds.  Measured 1.5–2.2×
+  faster than ``xla`` end-to-end on the bench TPU at every relevant size.
+
+Backend selection: ``NISLAM_FFT`` env var (``mm``/``xla``), default ``auto``
+= ``mm`` on accelerators, ``xla`` on CPU (tests compare against NumPy
+oracles there).
 """
 
 from __future__ import annotations
 
+import functools
+import math
+import os
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def c2r(x: jnp.ndarray) -> jnp.ndarray:
@@ -41,13 +64,105 @@ def r2c(y: jnp.ndarray) -> jnp.ndarray:
     return jax.lax.complex(y[..., 0], y[..., 1])
 
 
+def fft_backend() -> str:
+    """Resolve the transform backend (see module docstring)."""
+    env = os.environ.get("NISLAM_FFT", "auto")
+    if env in ("mm", "xla"):
+        return env
+    return "xla" if jax.default_backend() == "cpu" else "mm"
+
+
+# ---------------------------------------------------------------------------
+# matmul-DFT constant factories (host-side, cached per axis length)
+# ---------------------------------------------------------------------------
+
+_PREC = jax.lax.Precision.HIGHEST  # full-f32 MXU passes; KCC needs the bits
+
+
+@functools.lru_cache(maxsize=None)
+def _rdft_consts(n: int):
+    """(fwd_re, fwd_im) of the (n, n//2+1) truncated DFT and
+    (inv_re, inv_im) of the (n//2+1, n) half→real inverse with the
+    conjugate-symmetric fold (weight 2 on interior bins) built in."""
+    k = np.arange(n)
+    m = np.exp(-2j * np.pi * np.outer(k, k) / n)
+    n2 = n // 2 + 1
+    fwd = m[:, :n2]
+    dbl = np.ones(n2)
+    dbl[1:(n + 1) // 2] = 2.0
+    inv = ((np.conj(m) / n)[:, :n2] * dbl).T  # (n2, n), 1/n normalization
+    return (
+        fwd.real.astype(np.float32),
+        fwd.imag.astype(np.float32),
+        inv.real.astype(np.float32),
+        inv.imag.astype(np.float32),
+    )
+
+
+@functools.lru_cache(maxsize=None)
+def _cdft_consts(n: int):
+    """Full (n, n) complex DFT and its 1/n inverse, as real pairs."""
+    k = np.arange(n)
+    m = np.exp(-2j * np.pi * np.outer(k, k) / n)
+    mi = np.conj(m) / n
+    return (
+        m.real.astype(np.float32),
+        m.imag.astype(np.float32),
+        mi.real.astype(np.float32),
+        mi.imag.astype(np.float32),
+    )
+
+
+def _mm(a, b):
+    return jnp.matmul(a, b, precision=_PREC)
+
+
+def _lmm(m, x):
+    """(n, n) constant applied from the left over the -2 axis of x."""
+    return jnp.einsum("ij,...jk->...ik", m, x, precision=_PREC)
+
+
+def _rfft2_mm(x: jnp.ndarray) -> jnp.ndarray:
+    h, w = x.shape[-2], x.shape[-1]
+    fwr, fwi, _, _ = _rdft_consts(w)
+    fhr, fhi, _, _ = _cdft_consts(h)
+    tr = _mm(x, jnp.asarray(fwr))
+    ti = _mm(x, jnp.asarray(fwi))
+    rr = _lmm(jnp.asarray(fhr), tr) - _lmm(jnp.asarray(fhi), ti)
+    ri = _lmm(jnp.asarray(fhr), ti) + _lmm(jnp.asarray(fhi), tr)
+    return jax.lax.complex(rr, ri)
+
+
+def _irfft2_mm(xf: jnp.ndarray, shape: tuple[int, int]) -> jnp.ndarray:
+    h, w = shape
+    _, _, iwr, iwi = _rdft_consts(w)
+    _, _, ihr, ihi = _cdft_consts(h)
+    if jnp.iscomplexobj(xf):
+        rr, ri = jnp.real(xf), jnp.imag(xf)
+        ur = _lmm(jnp.asarray(ihr), rr) - _lmm(jnp.asarray(ihi), ri)
+        ui = _lmm(jnp.asarray(ihr), ri) + _lmm(jnp.asarray(ihi), rr)
+    else:  # real "spectrum" (e.g. a magnitude): imaginary part is zero
+        rr = xf.astype(jnp.float32)
+        ur = _lmm(jnp.asarray(ihr), rr)
+        ui = _lmm(jnp.asarray(ihi), rr)
+    return _mm(ur, jnp.asarray(iwr)) - _mm(ui, jnp.asarray(iwi))
+
+
+# ---------------------------------------------------------------------------
+# Public transforms (backend-dispatched)
+# ---------------------------------------------------------------------------
+
+
 def rfft2(x: jnp.ndarray) -> jnp.ndarray:
     """Real 2D FFT over the last two axes; spectrum shape ``(..., H, W//2+1)``.
 
     Matches ``CorrelationFlow::FFT`` (/root/reference/src/correlation_flow.cc:53-63)
     up to the (irrelevant) choice of halved axis.
     """
-    return jnp.fft.rfft2(x.astype(jnp.float32))
+    x = x.astype(jnp.float32)
+    if fft_backend() == "mm":
+        return _rfft2_mm(x)
+    return jnp.fft.rfft2(x)
 
 
 def irfft2(xf: jnp.ndarray, shape: tuple[int, int]) -> jnp.ndarray:
@@ -56,7 +171,53 @@ def irfft2(xf: jnp.ndarray, shape: tuple[int, int]) -> jnp.ndarray:
     Includes the ``1/N`` normalization of ``CorrelationFlow::IFFT``
     (/root/reference/src/correlation_flow.cc:65-77).
     """
+    if fft_backend() == "mm":
+        return _irfft2_mm(xf, shape)
     return jnp.fft.irfft2(xf, s=shape)
+
+
+def rfft_last(x: jnp.ndarray) -> jnp.ndarray:
+    """1D real FFT along the last axis (shear resamplers, ops.warp)."""
+    x = x.astype(jnp.float32)
+    if fft_backend() == "mm":
+        n = x.shape[-1]
+        fwr, fwi, _, _ = _rdft_consts(n)
+        return jax.lax.complex(_mm(x, jnp.asarray(fwr)), _mm(x, jnp.asarray(fwi)))
+    return jnp.fft.rfft(x, axis=-1)
+
+
+def irfft_last(xf: jnp.ndarray, n: int) -> jnp.ndarray:
+    if fft_backend() == "mm":
+        _, _, iwr, iwi = _rdft_consts(n)
+        return _mm(jnp.real(xf), jnp.asarray(iwr)) - _mm(
+            jnp.imag(xf), jnp.asarray(iwi)
+        )
+    return jnp.fft.irfft(xf, n=n, axis=-1)
+
+
+def rfft_ax2(x: jnp.ndarray) -> jnp.ndarray:
+    """1D real FFT along axis -2 (column shears)."""
+    x = x.astype(jnp.float32)
+    if fft_backend() == "mm":
+        n = x.shape[-2]
+        fwr, fwi, _, _ = _rdft_consts(n)
+        # f[..., k, x] = Σ_j fwd[j, k] · x[..., j, x]
+        re = jnp.einsum("jk,...jx->...kx", jnp.asarray(fwr), x, precision=_PREC)
+        im = jnp.einsum("jk,...jx->...kx", jnp.asarray(fwi), x, precision=_PREC)
+        return jax.lax.complex(re, im)
+    return jnp.fft.rfft(x, axis=-2)
+
+
+def irfft_ax2(xf: jnp.ndarray, n: int) -> jnp.ndarray:
+    if fft_backend() == "mm":
+        _, _, iwr, iwi = _rdft_consts(n)
+        # y[..., j, x] = Σ_k inv[k, j] · f[..., k, x]
+        return jnp.einsum(
+            "kj,...kx->...jx", jnp.asarray(iwr), jnp.real(xf), precision=_PREC
+        ) - jnp.einsum(
+            "kj,...kx->...jx", jnp.asarray(iwi), jnp.imag(xf), precision=_PREC
+        )
+    return jnp.fft.irfft(xf, n=n, axis=-2)
 
 
 def fftshift2(x: jnp.ndarray) -> jnp.ndarray:
@@ -73,9 +234,14 @@ def impulse_spectrum(h: int, w: int) -> jnp.ndarray:
 
     Matches ``CorrelationFlow::GetTargetFFT`` (/root/reference/src/
     correlation_flow.cc:46-51): a delta at ``(h//2, w//2)``.  Computed in
-    closed form — the DFT of ``delta[h//2, w//2]`` is
-    ``exp(-2πi (k·h/2/H + l·w/2/W))`` which for even sizes is ``(-1)^(k+l)``
-    restricted to the stored half spectrum.
+    closed form on the host — the DFT of ``delta[h//2, w//2]`` is
+    ``exp(-2πi (k·h/2/H + l·w/2/W))`` restricted to the stored half
+    spectrum — so constructing engine constants never dispatches an eager
+    FFT op to the device.
     """
-    target = jnp.zeros((h, w), jnp.float32).at[h // 2, w // 2].set(1.0)
-    return jnp.fft.rfft2(target)
+    ky = np.arange(h)
+    kx = np.arange(w // 2 + 1)
+    phase = -2.0 * math.pi * (
+        ky[:, None] * ((h // 2) / h) + kx[None, :] * ((w // 2) / w)
+    )
+    return jnp.asarray(np.exp(1j * phase).astype(np.complex64))

@@ -22,6 +22,8 @@ import math
 import jax.numpy as jnp
 import numpy as np
 
+from nislam_tpu.ops.fft import irfft_ax2, irfft_last, rfft_ax2, rfft_last
+
 
 def bilinear_sample(
     img: jnp.ndarray,
@@ -113,23 +115,23 @@ def _shear_x(img: jnp.ndarray, s: jnp.ndarray) -> jnp.ndarray:
     """Circular x-shear: dst(y, x) = src(y, x + s·(y − cy)) via the Fourier
     shift theorem along rows (no gathers, sinc interpolation, exact wrap)."""
     h, w = img.shape[-2], img.shape[-1]
-    f = jnp.fft.rfft(img, axis=-1)  # (..., H, W//2+1)
+    f = rfft_last(img)  # (..., H, W//2+1)
     kx = jnp.arange(w // 2 + 1, dtype=jnp.float32)
     y = jnp.arange(h, dtype=jnp.float32) - h / 2.0
     d = s[..., None] * y  # (..., H) row shifts
     phase = jnp.exp(2j * jnp.pi / w * d[..., :, None] * kx)  # (..., H, W//2+1)
-    return jnp.fft.irfft(f * phase, n=w, axis=-1)
+    return irfft_last(f * phase, w)
 
 
 def _shear_y(img: jnp.ndarray, s: jnp.ndarray) -> jnp.ndarray:
     """Circular y-shear: dst(y, x) = src(y + s·(x − cx), x) along columns."""
     h, w = img.shape[-2], img.shape[-1]
-    f = jnp.fft.rfft(img, axis=-2)  # (..., H//2+1, W)
+    f = rfft_ax2(img)  # (..., H//2+1, W)
     ky = jnp.arange(h // 2 + 1, dtype=jnp.float32)
     x = jnp.arange(w, dtype=jnp.float32) - w / 2.0
     d = s[..., None] * x  # (..., W) column shifts
     phase = jnp.exp(2j * jnp.pi / h * ky[..., :, None] * d[..., None, :])
-    return jnp.fft.irfft(f * phase, n=h, axis=-2)
+    return irfft_ax2(f * phase, h)
 
 
 def _rot180(img: jnp.ndarray) -> jnp.ndarray:

@@ -102,3 +102,62 @@ def straight_path(
     n: int, step: float = 6.0, start: Tuple[float, float] = (512.0, 512.0)
 ) -> List[Tuple[float, float, float]]:
     return [(start[0] + i * step, start[1], 0.0) for i in range(n)]
+
+
+def heading_loop_path(
+    n_frames: int,
+    step: float = 6.0,
+    start: Tuple[float, float] = (512.0, 512.0),
+    tail: int = 8,
+    turn_steps: int = 8,
+) -> List[Tuple[float, float, float]]:
+    """Rounded-square loop with the heading tangent to the motion — the
+    robot *turns* through a full 360° around the loop, so every end-to-end
+    consumer exercises the rotation-recovery branch of the tracker (the
+    reference's rotating real footage, /root/reference/README.md:163-169).
+
+    Each corner is a quarter-circle arc integrated over ``turn_steps``
+    frames; by 4-fold symmetry the path closes exactly, then a straight
+    tail leaves the loop region (so the ≥2-pending optimize trigger can
+    fire once revisits stop).  Returns exactly ``n_frames`` poses — no
+    wrap/teleport (ADVICE r1).
+    """
+    body = n_frames - tail - 1
+    side = max(2, -(-(body - 4 * turn_steps) // 4))
+    x, y, th = float(start[0]), float(start[1]), 0.0
+    poses = [(x, y, th)]
+    dth = (math.pi / 2.0) / turn_steps
+    for _ in range(4):
+        for _ in range(side):
+            x += step * math.cos(th)
+            y += step * math.sin(th)
+            poses.append((x, y, th))
+        for _ in range(turn_steps):
+            th += dth
+            x += step * math.cos(th)
+            y += step * math.sin(th)
+            poses.append((x, y, th))
+    th = th % (2.0 * math.pi)
+    while len(poses) < n_frames:
+        x += step * math.cos(th)
+        y += step * math.sin(th)
+        poses.append((x, y, th))
+    return poses[:n_frames]
+
+
+def add_sensor_noise(
+    frames: np.ndarray,
+    noise_sigma: float = 0.01,
+    illum_drift: float = 0.1,
+    seed: int = 7,
+) -> np.ndarray:
+    """Per-pixel Gaussian noise + slow multiplicative illumination drift
+    across the sequence — the realism knobs VERDICT r1 asked for in every
+    end-to-end workload (real footage is never noise-free)."""
+    rng = np.random.default_rng(seed)
+    n = frames.shape[0]
+    gain = (1.0 + illum_drift * np.sin(
+        np.linspace(0.0, 2.0 * np.pi, n, dtype=np.float32)))[:, None, None]
+    noisy = frames * gain + rng.standard_normal(frames.shape).astype(
+        np.float32) * noise_sigma
+    return np.clip(noisy, 0.0, 1.0).astype(np.float32)

@@ -24,7 +24,7 @@ def main():
         MapConfig, SlamConfig,
     )
     from nislam_tpu.core.slam import make_engine
-    from nislam_tpu.utils.synthetic import make_world, render_sequence, square_loop_path
+    from nislam_tpu.utils.synthetic import heading_loop_path, make_world, render_sequence
 
     h, w, rd, rc = 256, 256, 360, 240
     n_frames = 256
@@ -54,9 +54,8 @@ def main():
     engine = make_engine(config)
 
     world = make_world(world_n, 3.0)
-    side = max(4, (n_frames - 9) // 4)
-    poses = square_loop_path(side, step=step_px, start=(world_n / 2.0, world_n / 2.0), tail=8)
-    poses = (poses * (n_frames // len(poses) + 1))[:n_frames]
+    # Exactly n_frames of a rotating loop — no wrap/teleport (ADVICE r1).
+    poses = heading_loop_path(n_frames, step=step_px, start=(world_n / 2.0, world_n / 2.0))
     frames = render_sequence(world, h, w, poses)
     static = np.broadcast_to(frames[0], frames.shape).copy()
 
@@ -77,6 +76,7 @@ def main():
     x = jnp.asarray(frames)
     np.asarray(x[0, 0, 0])  # fence via readback (tunnel-safe)
     print(f"h2d {frames.nbytes/1e6:.0f}MB: {time.time() - t0:.2f}s", flush=True)
+    del x  # don't pin an extra full frame-stack copy in HBM (ADVICE r1)
 
     t0 = time.time()
     state = engine.init_state()

@@ -29,11 +29,11 @@ def _run():
         SlamConfig,
     )
     from nislam_tpu.core.slam import make_engine
-    from nislam_tpu.utils.synthetic import make_world, render_sequence, square_loop_path
+    from nislam_tpu.utils.synthetic import heading_loop_path, make_world, render_sequence
 
     H, W = 96, 128
     config = SlamConfig(
-        cf=CFConfig(width=W, height=H, rotation_divisor=180, rotation_channel=96),
+        cf=CFConfig(width=W, height=H, rotation_divisor=360, rotation_channel=96),
         keyframe_selection=KeyframeSelectionConfig(
             max_distance=0.10, max_angle=0.05,
             lower_response_thr=4.0, upper_response_thr=6.0,
@@ -48,11 +48,13 @@ def _run():
             intrinsics=(100.0, W / 2.0, 100.0, H / 2.0),
         ),
     )
+    # Rotating loop (full 360° of yaw) through the default deferred-optimize
+    # chunked driver — the golden freezes rotation handling too (VERDICT r1).
     world = make_world(1024, 3.0, seed=1234)
-    frames = render_sequence(world, H, W, square_loop_path(20, step=5.5, tail=10))
+    frames = render_sequence(world, H, W, heading_loop_path(100, step=5.5, tail=10))
     engine = make_engine(config)
     state = engine.init_state()
-    state, outs = engine.run_chunk(state, jnp.asarray(frames))
+    state, outs = engine.run_sequence(state, jnp.asarray(frames), chunk_frames=32)
     state, _ = engine.finalize(state)
     outs = jax.tree.map(np.asarray, outs)
     kf = outs.keyframe_slot[outs.keyframe_slot >= 0]

@@ -30,7 +30,7 @@ def _bank_with(world, poses_px, frame_ids, distances):
         img = jnp.asarray(render_frame(world, H, W, px, py, 0.0))
         fft, polar = compute_intermedium(img, ops)
         fi, fp = compute_keyframe_filters(fft, polar, ops)
-        bank, _ = add_keyframe(
+        bank = add_keyframe(
             bank,
             fft=fft,
             polar_fft=polar,
@@ -42,7 +42,7 @@ def _bank_with(world, poses_px, frame_ids, distances):
             distance=jnp.asarray(dist, jnp.float32),
             grid_scale=MAP.grid_scale,
             enabled=jnp.asarray(True),
-        )
+        ).bank
     return bank, ops
 
 

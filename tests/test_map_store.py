@@ -10,6 +10,7 @@ from nislam_tpu.core.map_store import (
     add_keyframe,
     frames_in_neighborhood,
     grid_location,
+    invalidate_edges,
     make_edge_store,
     make_keyframe_bank,
 )
@@ -18,8 +19,8 @@ CF = CFConfig(width=32, height=24, rotation_divisor=36, rotation_channel=16)
 MAP = MapConfig(grid_scale=0.1, keyframe_capacity=4, edge_capacity=3)
 
 
-def _insert(bank, pose, fid, enabled=True):
-    return add_keyframe(
+def _insert(bank, pose, fid, enabled=True, evict=False, protect=None):
+    res = add_keyframe(
         bank,
         fft=jnp.ones((24, 17), jnp.complex64) * fid,
         polar_fft=jnp.ones((36, 9), jnp.complex64),
@@ -29,7 +30,10 @@ def _insert(bank, pose, fid, enabled=True):
         distance=jnp.asarray(0.5 * fid, jnp.float32),
         grid_scale=MAP.grid_scale,
         enabled=jnp.asarray(enabled),
+        evict=evict,
+        protect_slot=None if protect is None else jnp.asarray(protect, jnp.int32),
     )
+    return res.bank, res.slot
 
 
 def test_grid_location_truncates_toward_zero():
@@ -51,12 +55,74 @@ def test_insert_and_masks():
 
 
 def test_overflow_drops_and_counts():
+    # "drop" policy (MapConfig.eviction == "drop"): full bank rejects inserts.
     bank = make_keyframe_bank(CF, MAP)
     for i in range(6):
         bank, _ = _insert(bank, [0.1 * i, 0, 0], i)
     assert int(bank.count) == 4
     assert int(bank.overflow) == 2
     np.testing.assert_array_equal(np.asarray(bank.frame_ids), [0, 1, 2, 3])
+
+
+def test_ring_eviction_spares_base_and_protected():
+    # "ring" policy: oldest non-base slot reused; slot 0 and the protected
+    # slot (current tracking target) never evicted.
+    bank = make_keyframe_bank(CF, MAP)
+    for i in range(4):
+        bank, _ = _insert(bank, [0.1 * i, 0, 0], i, evict=True)
+    assert int(bank.count) == 4
+    # 5th insert evicts slot 1 (oldest non-base)
+    res = add_keyframe(
+        bank,
+        fft=jnp.ones((24, 17), jnp.complex64),
+        polar_fft=jnp.ones((36, 9), jnp.complex64),
+        image=jnp.ones((24, 32), jnp.float32),
+        pose=jnp.asarray([9.0, 9.0, 0.0]),
+        frame_id=jnp.asarray(4, jnp.int32),
+        distance=jnp.zeros(()),
+        grid_scale=MAP.grid_scale,
+        enabled=jnp.asarray(True),
+        evict=True,
+        protect_slot=jnp.asarray(3, jnp.int32),
+    )
+    assert int(res.stored) == 1 and int(res.slot) == 1 and int(res.evicted) == 1
+    assert int(res.bank.count) == 4 and int(res.bank.overflow) == 1
+    np.testing.assert_array_equal(np.asarray(res.bank.frame_ids), [0, 4, 2, 3])
+    # next eviction with protect on slot 2 skips it -> slot 3
+    res2 = add_keyframe(
+        res.bank,
+        fft=jnp.ones((24, 17), jnp.complex64),
+        polar_fft=jnp.ones((36, 9), jnp.complex64),
+        image=jnp.ones((24, 32), jnp.float32),
+        pose=jnp.asarray([9.0, 9.0, 0.0]),
+        frame_id=jnp.asarray(5, jnp.int32),
+        distance=jnp.zeros(()),
+        grid_scale=MAP.grid_scale,
+        enabled=jnp.asarray(True),
+        evict=True,
+        protect_slot=jnp.asarray(2, jnp.int32),
+    )
+    assert int(res2.evicted) == 3
+    np.testing.assert_array_equal(np.asarray(res2.bank.frame_ids), [0, 4, 2, 5])
+
+
+def test_invalidate_edges_on_eviction():
+    edges = make_edge_store(MAP)
+    for i in range(3):
+        edges = add_edge(
+            edges,
+            from_slot=jnp.asarray(i),
+            to_slot=jnp.asarray(i + 1),
+            T=jnp.zeros(3),
+            edge_type=1,
+            enabled=jnp.asarray(True),
+        )
+    np.testing.assert_array_equal(np.asarray(edges.valid_mask()), [1, 1, 1])
+    edges = invalidate_edges(edges, jnp.asarray(1, jnp.int32))
+    # edges 0->1 and 1->2 reference slot 1 -> dead; 2->3 survives
+    np.testing.assert_array_equal(np.asarray(edges.valid_mask()), [0, 0, 1])
+    edges = invalidate_edges(edges, jnp.asarray(-1, jnp.int32))  # no-op
+    np.testing.assert_array_equal(np.asarray(edges.valid_mask()), [0, 0, 1])
 
 
 def test_neighborhood_query():

@@ -24,6 +24,7 @@ from nislam_tpu.core.config import (
 from nislam_tpu.core.map_store import EDGE_KCC, EDGE_LOOP
 from nislam_tpu.core.slam import make_engine
 from nislam_tpu.utils.synthetic import (
+    heading_loop_path,
     make_world,
     render_sequence,
     square_loop_path,
@@ -128,11 +129,17 @@ def test_vo_with_rotation(world):
     assert (np.diff(yaws) >= -1e-3).all()
 
 
-def test_loop_closure_and_optimization(world):
-    """Square loop: loops detected on return, pose graph runs in-sequence."""
+def test_loop_closure_and_optimization_inline(world):
+    """Square loop, ``optimizer.inline``: the LM solve compiles into the
+    per-frame program and fires mid-scan with the reference's exact trigger
+    timing (map_builder.cc:108-116)."""
     poses = square_loop_path(side_steps=25, step=5.7, tail=30)
     frames = render_sequence(world, H, W, poses)
-    engine = make_engine(_config())
+    cfg = _config()
+    cfg = dataclasses.replace(
+        cfg, optimizer=dataclasses.replace(cfg.optimizer, inline=True)
+    )
+    engine = make_engine(cfg)
     state = engine.init_state()
     state, outs = engine.run_chunk(state, jnp.asarray(frames))
     outs = jax.tree.map(np.asarray, outs)
@@ -154,6 +161,42 @@ def test_loop_closure_and_optimization(world):
     err = np.linalg.norm(bank[slots][:, :2] - gt[idx], axis=1)
     assert err.max() < 0.12  # ≤ ~2 px/keyframe quantization drift, bounded
     assert err.mean() < 0.06
+
+
+def test_loop_closure_rotating_deferred(world):
+    """Rotating loop (heading tangent to motion, full 360° of yaw) through
+    the default deferred-optimize driver: loops must be found under real
+    rotation and the chunk-boundary solves must pull keyframe poses back
+    onto ground truth (VERDICT r1 task 3)."""
+    poses = heading_loop_path(130, step=5.0, turn_steps=8, tail=25)
+    frames = render_sequence(world, H, W, poses)
+    cfg = _config(distance_thr=1.2)
+    cfg = dataclasses.replace(
+        cfg,
+        cf=dataclasses.replace(cfg.cf, rotation_divisor=360),
+    )
+    engine = make_engine(cfg)
+    state = engine.init_state()
+    state, outs = engine.run_sequence(state, jnp.asarray(frames), chunk_frames=32)
+    state, _ = engine.finalize(state)
+
+    # Rotation makes individual frames legitimately borderline (PSR gate);
+    # dropped frames re-register against the same keyframe, like the
+    # reference (map_builder.cc:55-57).
+    assert outs.tracked.mean() > 0.97
+    assert outs.loop_found.sum() >= 1
+    assert outs.optimized.sum() == 0  # deferred: never fires inside the scan
+    types = np.asarray(state.edges.types)[np.asarray(state.edges.valid_mask())]
+    assert (types == EDGE_LOOP).sum() >= 1
+    # Yaw accumulated ~2π around the loop and returned near 0 (mod 2π).
+    yaw_span = outs.pose[:, 2].max() - outs.pose[:, 2].min()
+    assert yaw_span > np.pi  # rotation genuinely tracked, not stuck at 0
+    gt = _gt_xy(poses)
+    idx = np.where(outs.keyframe_slot >= 0)[0]
+    slots = outs.keyframe_slot[idx]
+    bank = np.asarray(state.bank.poses)
+    err = np.linalg.norm(bank[slots][:, :2] - gt[idx], axis=1)
+    assert err.mean() < 0.10
 
 
 def test_loop_gating_respects_frame_gap(world):

@@ -101,7 +101,7 @@ def test_recompute_equals_incremental(rng):
     poses = [np.zeros(3), np.array([0.03, 0.02, 0.4])]
     for k, pose in enumerate(poses):
         img = rng.random((H, W), dtype=np.float32)
-        bank, _ = add_keyframe(
+        bank = add_keyframe(
             bank,
             fft=jnp.zeros((H, W // 2 + 1), jnp.complex64),
             polar_fft=jnp.zeros((36, 9), jnp.complex64),
@@ -111,7 +111,7 @@ def test_recompute_equals_incremental(rng):
             distance=jnp.zeros(()),
             grid_scale=0.1,
             enabled=jnp.asarray(True),
-        )
+        ).bank
         canvas_inc = insert_frame(canvas_inc, jnp.asarray(img), jnp.asarray(pose, jnp.float32), cam)
     canvas_re = recompute(make_canvas(CFG), bank, cam)
     np.testing.assert_allclose(
