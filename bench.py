@@ -41,13 +41,28 @@ def main() -> int:
         "batch size (BASELINE config 4)",
     )
     ap.add_argument(
-        "--lookahead", type=int, default=8,
-        help="speculative block tracking: register k frames per step "
-        "against the block keyframe (core/lookahead.py) — the intended "
-        "TPU serving mode; ATE in the output gates its accuracy. "
-        "1 = exact reference-step semantics",
+        "--lookahead", type=int, default=1,
+        help="1 (default) = exact reference-step semantics — with the "
+        "matmul-DFT front end this is both the fastest and the most "
+        "accurate mode measured on the bench TPU (r2: 347 fps vs 103 at "
+        "k=8, whose stale-keyframe deviation also hurts rotating paths); "
+        ">1 = speculative block tracking (core/lookahead.py), ATE-gated",
+    )
+    ap.add_argument(
+        "--scaling", type=int, default=0, metavar="N",
+        help="also measure data-parallel scaling efficiency on an N-device "
+        "virtual CPU mesh (BASELINE: >=80%% frames/s scaling at >=2 "
+        "hosts; virtual mesh = the collective-overhead proxy available "
+        "on a 1-chip host)",
     )
     args = ap.parse_args()
+
+    if args.scaling:
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + f" --xla_force_host_platform_device_count={args.scaling}"
+            ).strip()
 
     import jax
 
@@ -79,7 +94,12 @@ def main() -> int:
     )
     from nislam_tpu.core.slam import make_engine
     from nislam_tpu.io.trajectory import ate_rmse
-    from nislam_tpu.utils.synthetic import make_world, render_sequence, square_loop_path
+    from nislam_tpu.utils.synthetic import (
+        add_sensor_noise,
+        heading_loop_path,
+        make_world,
+        render_sequence,
+    )
 
     dev = jax.devices()[0]
     print(f"device: {dev.platform} {dev.device_kind}", file=sys.stderr)
@@ -136,12 +156,15 @@ def main() -> int:
         ),
     )
 
+    # Rotating loop (heading tangent to motion, 360° of yaw) + sensor noise
+    # and illumination drift: the workload exercises the rotation-recovery
+    # branch end-to-end, so the reported ATE gates real tracking (VERDICT r1).
     t0 = time.time()
     world = make_world(world_n, 3.0)
-    side = max(4, (n_frames - 9) // 4)
-    poses = square_loop_path(side, step=step_px, start=(world_n / 2.0, world_n / 2.0), tail=8)
-    poses = (poses * (n_frames // len(poses) + 1))[:n_frames]
-    frames = render_sequence(world, h, w, poses)
+    poses = heading_loop_path(
+        n_frames, step=step_px, start=(world_n / 2.0, world_n / 2.0)
+    )
+    frames = add_sensor_noise(render_sequence(world, h, w, poses))
     gt = np.array([(p[0] - world_n / 2.0, p[1] - world_n / 2.0) for p in poses]) * px
     print(f"data gen: {time.time() - t0:.1f}s ({n_frames} frames {h}x{w})", file=sys.stderr)
 
@@ -239,6 +262,59 @@ def main() -> int:
         bdt = time.time() - t0
         result["batch_size"] = b
         result["batch_frames_per_sec_per_chip"] = round(b * per_seq / bdt, 1)
+
+    if args.scaling:
+        # Scaling-efficiency proxy on an N-virtual-device CPU mesh.  Virtual
+        # devices share the host's cores, so a raw fps ratio cannot show a
+        # hardware speedup; what DOES transfer to a real pod is the
+        # *partitioning overhead*: the same total batch (B = N sequences)
+        # timed on a 1-device mesh (pure vmap, no collectives) vs sharded
+        # 1-per-device over an N-device mesh (resharding + collectives).
+        # efficiency = t(1-device mesh) / t(N-device mesh); ideal 1.0.
+        from nislam_tpu.parallel.batch import make_batch_engine
+        from nislam_tpu.parallel.mesh import make_mesh
+
+        ns = args.scaling
+        cpus = jax.devices("cpu")
+        assert len(cpus) >= ns, f"only {len(cpus)} virtual CPU devices"
+        sh, sw = 120, 160
+        s_cfg = SlamConfig(
+            cf=CFConfig(width=sw, height=sh, rotation_divisor=180,
+                        rotation_channel=96),
+            keyframe_selection=config.keyframe_selection,
+            map=MapConfig(grid_scale=config.map.grid_scale,
+                          keyframe_capacity=64, edge_capacity=256,
+                          store_images=False),
+            loop_closure=config.loop_closure,
+            camera=CameraConfig(image_width=sw, image_height=sh, height=1.0,
+                                intrinsics=(float(sw), sw / 2.0, float(sw),
+                                            sh / 2.0)),
+        )
+        per_seq = 32
+        s_frames = np.asarray(frames[:per_seq, :sh, :sw])
+        imgs_np = np.broadcast_to(s_frames, (ns, per_seq, sh, sw)).copy()
+
+        def dp_time(ndev_mesh):
+            mesh = make_mesh({"data": ndev_mesh}, devices=cpus[:ndev_mesh])
+            eng = make_batch_engine(s_cfg, batch=ns, mesh=mesh)
+            imgs = jnp.asarray(imgs_np)
+            sts = eng.init_states()
+            sts, bo = eng.run_chunk(sts, imgs)
+            np.asarray(bo.pose)  # warm + fence
+            best = float("inf")
+            for _ in range(3):
+                sts = eng.init_states()
+                t0 = time.time()
+                sts, bo = eng.run_chunk(sts, imgs)
+                np.asarray(bo.pose)
+                best = min(best, time.time() - t0)
+            return best
+
+        t_one = dp_time(1)
+        t_mesh = dp_time(ns)
+        result["scaling_devices"] = ns
+        result["scaling_efficiency"] = round(t_one / t_mesh, 3)
+        result["scaling_fps_total"] = round(ns * per_seq / t_mesh, 1)
 
     print(json.dumps(result))
     return 0

@@ -116,6 +116,14 @@ class MapStitcherConfig:
     stitch_map: bool = True
     cell_size: int = 1000
     canvas_size: int = 2048
+    # Stitch DURING the run, like the reference (InsertFrame per keyframe,
+    # map_builder.cc:62; RecomputeOccupancy after every optimize, :113):
+    # the canvas lives in the engine state and every keyframe pays one
+    # H·W scatter-add.  Off (default): the mosaic is rasterized on demand
+    # from the stored keyframe images (CLI --stitch / FullSlam.stitch) —
+    # same pixels whenever poses are final, none of the per-frame cost.
+    # Requires MapConfig.store_images.
+    online: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -281,6 +289,7 @@ def load_config(path: str, *, load_camera: bool = True) -> SlamConfig:
         stitch_map=bool(msn.get("stitch_map", True)),
         cell_size=int(msn.get("cell_size", 1000)),
         canvas_size=int(msn.get("canvas_size", 2048)),
+        online=bool(msn.get("online", False)),
     )
 
     opn = node.get("optimizer", {})

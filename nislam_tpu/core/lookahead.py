@@ -50,7 +50,9 @@ from nislam_tpu.core.slam import (
     TrackState,
     _flush_pending_loops,
     _invalidate_pending,
+    _stitch_online,
 )
+from nislam_tpu.core.stitcher import insert_frame
 from nislam_tpu.ops.fft import c2r, r2c
 from nislam_tpu.ops.registration import (
     CFOps,
@@ -122,6 +124,7 @@ def slam_step_block(
 
     # ---- 2. sequential commit (unrolled: tiny scalar ops) ---------------
     bank, edges, pending = state.bank, state.edges, state.pending
+    canvas = state.canvas
     # chain state (advances on insertion within the block)
     last_cf = track.last_cf_pose
     last_cf_real = track.last_cf_real_pose
@@ -175,6 +178,13 @@ def slam_step_block(
             enabled=stored,
         )
         pending = _invalidate_pending(pending, evicted)
+        if _stitch_online(config):
+            canvas = jax.lax.cond(
+                stored,
+                lambda cv, im=imgs_u[i], p=cur_pose: insert_frame(cv, im, p, camera),
+                lambda cv: cv,
+                canvas,
+            )
 
         cf_out = relative_pose(
             camera.image_plane_to_robot(jnp.zeros(3, jnp.float32)),
@@ -205,7 +215,9 @@ def slam_step_block(
         slot_last = jnp.where(stored, slot, slot_last)
         any_insert = jnp.logical_or(any_insert, insert)
 
-    state = dataclasses.replace(state, bank=bank, edges=edges, pending=pending)
+    state = dataclasses.replace(
+        state, bank=bank, edges=edges, pending=pending, canvas=canvas
+    )
 
     # ---- 3. block epilogue ----------------------------------------------
     # Tracking target ← newest inserted keyframe (dynamic lane gather).

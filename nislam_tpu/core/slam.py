@@ -49,6 +49,12 @@ from nislam_tpu.core.pose_graph import (
     sqrt_information,
 )
 from nislam_tpu.core.se2 import absolute_pose, relative_pose
+from nislam_tpu.core.stitcher import (
+    StitchCanvas,
+    insert_frame,
+    make_canvas,
+    recompute,
+)
 from nislam_tpu.ops.fft import c2r, r2c
 from nislam_tpu.ops.registration import (
     CFOps,
@@ -101,6 +107,10 @@ class SlamState:
     edges: EdgeStore
     track: TrackState
     pending: PendingLoops
+    # Occupancy mosaic, live only with MapStitcherConfig.online (else (0,0)
+    # placeholders): insert on keyframe (map_builder.cc:62), recompute after
+    # every optimize (map_builder.cc:113).
+    canvas: StitchCanvas
 
 
 class StepOutput(NamedTuple):
@@ -308,10 +318,29 @@ def make_engine(config: SlamConfig) -> SlamEngine:
     )
 
 
+def _stitch_online(config: SlamConfig) -> bool:
+    ms = config.map_stitcher
+    if ms.stitch_map and ms.online and not config.map.store_images:
+        raise ValueError(
+            "map_stitcher.online requires map.store_images (the recompute "
+            "after optimization re-rasterizes stored keyframe images)"
+        )
+    return ms.stitch_map and ms.online
+
+
 def init_state(config: SlamConfig, cf_ops: CFOps) -> SlamState:
     cf = config.cf
     p = config.loop_closure.pending_capacity
+    canvas = (
+        make_canvas(config.map_stitcher)
+        if _stitch_online(config)
+        else StitchCanvas(
+            data=jnp.zeros((0, 0), jnp.float32),
+            weight=jnp.zeros((0, 0), jnp.float32),
+        )
+    )
     return SlamState(
+        canvas=canvas,
         bank=make_keyframe_bank(cf, config.map),
         edges=make_edge_store(config.map),
         track=TrackState(
@@ -350,12 +379,17 @@ def _optimize_map(
     edges: EdgeStore,
     config: SlamConfig,
     camera: CameraOps,
+    solver_fn=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Solve the pose graph over the whole bank; returns (poses, cost).
 
     Parity with ``OptimizeMap`` (map_builder.cc:196-273): edge measurements
     stored in the camera frame are converted camera→robot at assembly
     (:240); information is the stored matrix (identity); base slot pinned.
+
+    ``solver_fn(prob) -> (poses, cost)`` overrides the dense LM solver —
+    the distributed engine passes the edge-sharded GN-CG solve
+    (``nislam_tpu.parallel.solver``).
     """
     T_robot = camera.camera_to_robot(edges.T)
     # Whiten via the information matrix's Cholesky factor, exactly like the
@@ -374,6 +408,8 @@ def _optimize_map(
         sqrt_info=sqrt_information(safe_info),
         edge_mask=mask,
     )
+    if solver_fn is not None:
+        return solver_fn(prob)
     cfg = SolverConfig(
         max_iterations=config.optimizer.max_iterations,
         estimate_scale=config.optimizer.with_scale,
@@ -404,7 +440,12 @@ def _invalidate_pending(pending: PendingLoops, evicted: jnp.ndarray) -> PendingL
     )
 
 
-def _add_loop_edges_and_solve(state: SlamState, config: SlamConfig, camera: CameraOps) -> SlamState:
+def _add_loop_edges_and_solve(
+    state: SlamState,
+    config: SlamConfig,
+    camera: CameraOps,
+    solver_fn=None,
+) -> SlamState:
     """AddLoopEdges + OptimizeMap + pending clear (map_builder.cc:108-116)."""
     pending = state.pending
     bank, edges = state.bank, state.edges
@@ -425,14 +466,20 @@ def _add_loop_edges_and_solve(state: SlamState, config: SlamConfig, camera: Came
         )
 
     edges = jax.lax.fori_loop(0, p, add_one, edges)
-    poses, _ = _optimize_map(bank, edges, config, camera)
+    poses, _ = _optimize_map(bank, edges, config, camera, solver_fn)
     bank = dataclasses.replace(bank, poses=poses)
+    canvas = state.canvas
+    if _stitch_online(config):
+        # RecomputeOccupancy after every optimize (map_builder.cc:113).
+        canvas = recompute(canvas, bank, camera)
     cleared = dataclasses.replace(pending, count=jnp.zeros((), jnp.int32))
-    return dataclasses.replace(state, bank=bank, edges=edges, pending=cleared)
+    return dataclasses.replace(
+        state, bank=bank, edges=edges, pending=cleared, canvas=canvas
+    )
 
 
 def _flush_pending_loops(
-    state: SlamState, config: SlamConfig, camera: CameraOps
+    state: SlamState, config: SlamConfig, camera: CameraOps, solver_fn=None
 ) -> Tuple[SlamState, jnp.ndarray]:
     """Inline-mode trigger: solve iff ≥2 pending, then clear; returns (state, ran).
 
@@ -442,7 +489,7 @@ def _flush_pending_loops(
     run = state.pending.count >= 2
     state = jax.lax.cond(
         run,
-        lambda st: _add_loop_edges_and_solve(st, config, camera),
+        lambda st: _add_loop_edges_and_solve(st, config, camera, solver_fn),
         lambda st: st,
         state,
     )
@@ -451,7 +498,11 @@ def _flush_pending_loops(
 
 
 def maybe_optimize(
-    state: SlamState, *, config: SlamConfig, camera: CameraOps
+    state: SlamState,
+    *,
+    config: SlamConfig,
+    camera: CameraOps,
+    solver_fn=None,
 ) -> Tuple[SlamState, jnp.ndarray]:
     """Deferred-mode trigger, invoked between scan chunks by the driver.
 
@@ -465,7 +516,7 @@ def maybe_optimize(
     """
 
     def do(st):
-        st = _add_loop_edges_and_solve(st, config, camera)
+        st = _add_loop_edges_and_solve(st, config, camera, solver_fn)
         opt = st.bank.poses[st.track.last_slot]
         opt_cam = camera.robot_to_camera(opt)
         tr = dataclasses.replace(
@@ -482,10 +533,16 @@ def maybe_optimize(
 
 
 def check_and_optimize_final(
-    state: SlamState, *, config: SlamConfig, camera: CameraOps
+    state: SlamState,
+    *,
+    config: SlamConfig,
+    camera: CameraOps,
+    solver_fn=None,
 ) -> Tuple[SlamState, jnp.ndarray]:
     """Public end-of-sequence trigger (main.cpp:68-69)."""
-    state, ran = maybe_optimize(state, config=config, camera=camera)
+    state, ran = maybe_optimize(
+        state, config=config, camera=camera, solver_fn=solver_fn
+    )
     cleared = dataclasses.replace(state.pending, count=jnp.zeros((), jnp.int32))
     return dataclasses.replace(state, pending=cleared), ran
 
@@ -503,6 +560,8 @@ def slam_step(
     cf_ops: CFOps,
     camera: CameraOps,
     defer_optimize: bool = False,
+    loop_search_fn=None,
+    solver_fn=None,
 ) -> Tuple[SlamState, StepOutput]:
     """Process one grayscale frame (f32 in [0, 1], shape (H, W)).
 
@@ -540,6 +599,13 @@ def slam_step(
             enabled=jnp.asarray(True),
             evict=config.map.eviction == "ring",
         )
+        canvas = state.canvas
+        if _stitch_online(config):
+            # Initialize → MapStitcher::InsertFrame (map_builder.cc:96).
+            canvas = insert_frame(
+                canvas, img_u, camera.image_plane_to_robot(zero), camera
+            )
+        state = dataclasses.replace(state, canvas=canvas)
         track = TrackState(
             last_fft=c2r(fft),
             last_polar=c2r(polar),
@@ -647,16 +713,29 @@ def slam_step(
             edge_type=EDGE_KCC,
             enabled=stored,
         )
+        canvas = state.canvas
+        if _stitch_online(config):
+            # InsertFrame per keyframe (map_builder.cc:62); cond so dropped
+            # frames never pay the H·W scatter.
+            canvas = jax.lax.cond(
+                stored,
+                lambda cv: insert_frame(cv, img_u, cur_pose, camera),
+                lambda cv: cv,
+                canvas,
+            )
         state = dataclasses.replace(
             state,
             bank=bank,
             edges=edges,
+            canvas=canvas,
             pending=_invalidate_pending(state.pending, evicted),
         )
 
         # --- Loop closure (map_builder.cc:63, §2.2) ----------------------
+        search = loop_search_fn if loop_search_fn is not None else find_loop_closure
+
         def do_search(_):
-            return find_loop_closure(
+            return search(
                 bank,
                 img_u,
                 polar,
@@ -711,7 +790,7 @@ def slam_step(
         else:
 
             def maybe_opt(st):
-                return _flush_pending_loops(st, config, camera)
+                return _flush_pending_loops(st, config, camera, solver_fn)
 
             state, optimized = jax.lax.cond(
                 jnp.logical_and(stored, ~loop_found),

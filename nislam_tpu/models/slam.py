@@ -47,14 +47,18 @@ class FullSlam:
         (state, outputs, final_optimize_ran)."""
         if state is None:
             state = self._engine.init_state()
-        state, outs = self._engine.run_chunk(state, jnp.asarray(images))
+        state, outs = self._engine.run_sequence(state, jnp.asarray(images))
         state, ran = self._engine.finalize(state)
         return state, outs, ran
 
     # -- mapping (MapStitcher + occupancy export) -------------------------
     def stitch(self, state: SlamState) -> StitchCanvas:
+        """The occupancy canvas: the live one when stitching online
+        (map_builder.cc:62,113 semantics), else rasterized on demand."""
         if not self.config.map_stitcher.stitch_map:
             raise ValueError("map_stitcher.stitch_map is disabled in config")
+        if self.config.map_stitcher.online and state.canvas.size:
+            return state.canvas
         return recompute(
             make_canvas(self.config.map_stitcher), state.bank, self._engine.camera
         )

@@ -229,19 +229,28 @@ def fftshift2(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.fft.fftshift(x, axes=(-2, -1))
 
 
-def impulse_spectrum(h: int, w: int) -> jnp.ndarray:
-    """Spectrum of a centered unit impulse: the KCC target response ``g``.
+def impulse_spectrum_pair(h: int, w: int) -> np.ndarray:
+    """Float-pair spectrum of a centered unit impulse — the KCC target ``g``.
 
     Matches ``CorrelationFlow::GetTargetFFT`` (/root/reference/src/
     correlation_flow.cc:46-51): a delta at ``(h//2, w//2)``.  Computed in
     closed form on the host — the DFT of ``delta[h//2, w//2]`` is
     ``exp(-2πi (k·h/2/H + l·w/2/W))`` restricted to the stored half
-    spectrum — so constructing engine constants never dispatches an eager
-    FFT op to the device.
+    spectrum — and returned as a host ``(h, w//2+1, 2)`` float array:
+    engine construction never transfers complex64 (unimplemented on some
+    TPU runtimes) nor dispatches an eager FFT.
     """
     ky = np.arange(h)
     kx = np.arange(w // 2 + 1)
     phase = -2.0 * math.pi * (
         ky[:, None] * ((h // 2) / h) + kx[None, :] * ((w // 2) / w)
     )
-    return jnp.asarray(np.exp(1j * phase).astype(np.complex64))
+    return np.stack(
+        [np.cos(phase), np.sin(phase)], axis=-1
+    ).astype(np.float32)
+
+
+def impulse_spectrum(h: int, w: int) -> jnp.ndarray:
+    """Complex view of :func:`impulse_spectrum_pair` (CPU/test convenience —
+    materializes complex64 on the default device)."""
+    return r2c(jnp.asarray(impulse_spectrum_pair(h, w)))

@@ -27,7 +27,14 @@ import jax
 import jax.numpy as jnp
 
 from nislam_tpu.core.config import CFConfig
-from nislam_tpu.ops.fft import c2r, fftshift2, impulse_spectrum, irfft2, r2c, rfft2
+from nislam_tpu.ops.fft import (
+    c2r,
+    fftshift2,
+    impulse_spectrum_pair,
+    irfft2,
+    r2c,
+    rfft2,
+)
 from nislam_tpu.ops.warp import polar_grid, rotate_wrap, rotate_wrap_fft, warp_polar
 
 
@@ -63,9 +70,9 @@ def make_cf_ops(cfg: CFConfig) -> CFOps:
     px, py = polar_grid(cfg.height, cfg.width, cfg.rotation_divisor, cfg.rotation_channel)
     return CFOps(
         cfg=cfg,
-        target_fft=c2r(impulse_spectrum(cfg.height, cfg.width)),
-        target_rot_fft=c2r(
-            impulse_spectrum(cfg.rotation_divisor, cfg.rotation_channel)
+        target_fft=jnp.asarray(impulse_spectrum_pair(cfg.height, cfg.width)),
+        target_rot_fft=jnp.asarray(
+            impulse_spectrum_pair(cfg.rotation_divisor, cfg.rotation_channel)
         ),
         polar_x=jnp.asarray(px),
         polar_y=jnp.asarray(py),

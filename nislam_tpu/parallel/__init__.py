@@ -11,7 +11,14 @@ TPU-native addition designed against the BASELINE scaling configs:
   devices with collective argmax loop search (BASELINE config 5)
 - :mod:`nislam_tpu.parallel.solver` — distributed pose-graph Gauss-Newton
   with edge-sharded matrix-free CG over ``psum`` (BASELINE config 5)
+- :mod:`nislam_tpu.parallel.engine` — the two wired into a full engine:
+  one SLAM instance whose bank/solve span the mesh (BASELINE config 5 as a
+  running system)
 """
 
 from nislam_tpu.parallel.mesh import make_mesh  # noqa: F401
 from nislam_tpu.parallel.batch import BatchSlamEngine, make_batch_engine  # noqa: F401
+from nislam_tpu.parallel.engine import (  # noqa: F401
+    DistributedSlamEngine,
+    make_distributed_engine,
+)

@@ -86,14 +86,16 @@ def solve_pose_graph_cg(
     if e % nshards:
         raise ValueError(f"edge capacity {e} not divisible by {nshards} shards")
 
-    free = jnp.logical_and(
-        prob.pose_mask, jnp.arange(prob.poses.shape[0]) > 0
-    )[:, None]  # pin base slot + dead slots
-
-    def solver(poses, from_slot, to_slot, T, sqrt_info, edge_mask):
+    def solver(poses, pose_mask, from_slot, to_slot, T, sqrt_info, edge_mask):
+        # Pin base slot + dead slots.  Computed INSIDE the manual region —
+        # a closure-captured array would carry an Auto-mesh sharding into
+        # the Manual context and fail mesh-consistency checks.
+        free = jnp.logical_and(
+            pose_mask, jnp.arange(poses.shape[0]) > 0
+        )[:, None]
         local = PoseGraphProblem(
             poses=poses,
-            pose_mask=prob.pose_mask,
+            pose_mask=pose_mask,
             from_slot=from_slot,
             to_slot=to_slot,
             T=T,
@@ -154,12 +156,13 @@ def solve_pose_graph_cg(
     sharded = jax.shard_map(
         solver,
         mesh=mesh,
-        in_specs=(P(), P(axis), P(axis), P(axis), P(axis), P(axis)),
+        in_specs=(P(), P(), P(axis), P(axis), P(axis), P(axis), P(axis)),
         out_specs=(P(), P()),
     )
     poses0 = prob.poses.at[:, 2].set(normalize_angle(prob.poses[:, 2]))
     poses, cost = sharded(
-        poses0, prob.from_slot, prob.to_slot, prob.T, prob.sqrt_info, prob.edge_mask
+        poses0, prob.pose_mask, prob.from_slot, prob.to_slot, prob.T,
+        prob.sqrt_info, prob.edge_mask,
     )
     poses = jnp.where(prob.pose_mask[:, None], poses, prob.poses)
     return poses, cost

@@ -184,3 +184,43 @@ def test_distributed_cg_matches_dense(rng):
     # base pinned + dead slots untouched
     np.testing.assert_allclose(np.asarray(cg_poses[0]), np.asarray(prob.poses[0]), atol=1e-7)
     np.testing.assert_array_equal(np.asarray(cg_poses[24:]), np.asarray(prob.poses[24:]))
+
+
+def test_distributed_engine_matches_single():
+    """BASELINE config 5 as a running system: the DistributedSlamEngine
+    (sharded bank inside the compiled step, GN-CG solves between chunks)
+    produces the single-device engine's trajectory on the same frames."""
+    from nislam_tpu.parallel.engine import make_distributed_engine
+    from nislam_tpu.utils.synthetic import heading_loop_path
+
+    mesh = make_mesh({"bank": 8})
+    cfg = _config(loop_closure=LoopClosureConfig(
+        to_find_loop=True, position_response_thr=8.0, angle_response_thr=8.0,
+        frame_gap_thr=20, distance_thr=0.8, max_candidates=8,
+    ))
+    world = make_world(512, 3.0)
+    frames = render_sequence(
+        world, H, W, heading_loop_path(56, step=3.5, start=(256.0, 256.0), tail=10)
+    )
+
+    single = make_engine(cfg)
+    s1, o1 = single.run_sequence(single.init_state(), jnp.asarray(frames),
+                                 chunk_frames=16)
+    s1, _ = single.finalize(s1)
+
+    dist = make_distributed_engine(cfg, mesh)
+    s8 = dist.init_state()
+    # The map state is genuinely partitioned across the mesh.
+    assert s8.bank.fft.sharding.spec[0] == "bank"
+    s8, o8 = dist.run_sequence(s8, jnp.asarray(frames), chunk_frames=16)
+    s8, _ = dist.finalize(s8)
+
+    np.testing.assert_array_equal(np.asarray(o8.inserted), np.asarray(o1.inserted))
+    np.testing.assert_array_equal(np.asarray(o8.loop_found), np.asarray(o1.loop_found))
+    # Same trajectory up to solver tolerance (dense LM vs GN-CG).
+    np.testing.assert_allclose(np.asarray(o8.pose), np.asarray(o1.pose), atol=5e-3)
+    k = int(np.asarray(s1.bank.count))
+    assert int(np.asarray(s8.bank.count)) == k
+    np.testing.assert_allclose(
+        np.asarray(s8.bank.poses[:k]), np.asarray(s1.bank.poses[:k]), atol=5e-3
+    )

@@ -128,3 +128,65 @@ def test_origin_and_resolution():
     # 1 px = height/f = 0.01 m; corner at (−64, −64) px → (−0.64, −0.64) m.
     np.testing.assert_allclose(np.asarray(occupancy_origin(cam, canvas)), [-0.64, -0.64], atol=1e-6)
     np.testing.assert_allclose(float(map_resolution(cam)), 0.01, atol=1e-8)
+
+
+def test_online_stitching_matches_on_demand():
+    """Engine-integrated stitching (MapStitcherConfig.online): insert on
+    keyframe + recompute after optimize (map_builder.cc:62,113).  After the
+    final optimize the live canvas must equal an on-demand recompute from
+    the bank, and it must be populated during the run."""
+    import dataclasses
+
+    from nislam_tpu.core.config import (
+        KeyframeSelectionConfig,
+        LoopClosureConfig,
+        SlamConfig,
+    )
+    from nislam_tpu.core.slam import make_engine
+    from nislam_tpu.utils.synthetic import heading_loop_path, make_world, render_sequence
+
+    h, w = 48, 64
+    cfg = SlamConfig(
+        cf=CFConfig(width=w, height=h, rotation_divisor=180, rotation_channel=48),
+        keyframe_selection=KeyframeSelectionConfig(
+            max_distance=0.10, max_angle=0.05,
+            lower_response_thr=4.0, upper_response_thr=6.0,
+        ),
+        map=MapConfig(grid_scale=0.15, keyframe_capacity=64, edge_capacity=256,
+                      store_images=True),
+        loop_closure=LoopClosureConfig(
+            to_find_loop=True, position_response_thr=8.0, angle_response_thr=8.0,
+            frame_gap_thr=20, distance_thr=0.8, max_candidates=4,
+        ),
+        map_stitcher=MapStitcherConfig(canvas_size=256, online=True),
+        camera=CameraConfig(
+            image_width=w, image_height=h, height=1.0,
+            intrinsics=(100.0, w / 2.0, 100.0, h / 2.0),
+        ),
+    )
+    world = make_world(512, 3.0)
+    frames = render_sequence(
+        world, h, w, heading_loop_path(40, step=3.0, start=(256.0, 256.0), tail=6)
+    )
+    engine = make_engine(cfg)
+    state = engine.init_state()
+    state, outs = engine.run_sequence(state, jnp.asarray(frames), chunk_frames=16)
+    state, _ = engine.finalize(state)
+    assert np.asarray(state.canvas.weight).sum() > 0  # populated during run
+    ondemand = recompute(
+        StitchCanvas(
+            data=jnp.zeros_like(state.canvas.data),
+            weight=jnp.zeros_like(state.canvas.weight),
+        ),
+        state.bank,
+        engine.camera,
+    )
+    # Equal whether or not a solve ran: inserts use insert-time poses, and
+    # any optimize triggers a full recompute from the (updated) bank poses.
+    del outs
+    np.testing.assert_allclose(
+        np.asarray(state.canvas.data), np.asarray(ondemand.data), atol=1e-2
+    )
+    np.testing.assert_array_equal(
+        np.asarray(state.canvas.weight), np.asarray(ondemand.weight)
+    )
