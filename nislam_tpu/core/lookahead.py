@@ -95,9 +95,6 @@ def slam_step_block(
         ),
     )  # (k, 3), (k, 3)
     rel_principal = camera.center_to_principal(rel_center)
-    fi_all, fp_all = compute_keyframe_filters(fft, polar, cf_ops)  # (k, ...)
-    fi_all = c2r(fi_all)
-    fp_all = c2r(fp_all)
     fft_p = c2r(fft)
     polar_p = c2r(polar)
 
@@ -135,6 +132,8 @@ def slam_step_block(
     any_insert = jnp.asarray(False)
     idx_last = jnp.asarray(0, jnp.int32)
     slot_last = track.last_slot
+    filt_last = track.last_filt
+    filt_polar_last = track.last_filt_polar
 
     outs = []
     for i in range(k):
@@ -152,12 +151,24 @@ def slam_step_block(
         )
         new_distance = distance + jnp.where(insert, d, 0.0)
 
+        # Keyframe filters only when this lane inserts (4 transforms) —
+        # computing them batched for all k lanes costs 4·k transforms per
+        # block and dominated block mode once the front end got cheap
+        # (docs/PROFILE_r2.md §3); inserts happen for ~1 frame in 5.
+        fi_i, fp_i = jax.lax.cond(
+            insert,
+            lambda i=i: tuple(
+                c2r(f)
+                for f in compute_keyframe_filters(fft[i], polar[i], cf_ops)
+            ),
+            lambda: (filt_last, filt_polar_last),
+        )
         bank, slot, stored, evicted = add_keyframe(
             bank,
             fft=fft_p[i],
             polar_fft=polar_p[i],
-            filt=fi_all[i],
-            filt_polar=fp_all[i],
+            filt=fi_i,
+            filt_polar=fp_i,
             image=imgs_u[i],
             pose=cur_pose,
             frame_id=fid,
@@ -213,6 +224,8 @@ def slam_step_block(
         distance = new_distance
         idx_last = jnp.where(insert, i, idx_last)
         slot_last = jnp.where(stored, slot, slot_last)
+        filt_last = jnp.where(insert, fi_i, filt_last)
+        filt_polar_last = jnp.where(insert, fp_i, filt_polar_last)
         any_insert = jnp.logical_or(any_insert, insert)
 
     state = dataclasses.replace(
@@ -229,8 +242,8 @@ def slam_step_block(
     new_track = TrackState(
         last_fft=pick(fft_p, track.last_fft),
         last_polar=pick(polar_p, track.last_polar),
-        last_filt=pick(fi_all, track.last_filt),
-        last_filt_polar=pick(fp_all, track.last_filt_polar),
+        last_filt=filt_last,
+        last_filt_polar=filt_polar_last,
         last_cf_pose=last_cf,
         last_cf_real_pose=last_cf_real,
         last_pose=last_pose,

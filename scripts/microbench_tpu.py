@@ -118,6 +118,7 @@ def main():
             bench(f"mm  dft2+idft2   {b}x{h}x{w}", mk, x)
 
     # ---- rotation resamplers at 480x640
+    import sys as _s, os as _o; _s.path.insert(0, _o.path.dirname(_o.path.dirname(_o.path.abspath(__file__))))
     from nislam_tpu.ops.warp import rotate_wrap, rotate_wrap_fft
 
     x = rng.standard_normal((1, 480, 640)).astype(np.float32)
