@@ -79,6 +79,16 @@ def fft_backend() -> str:
 _PREC = jax.lax.Precision.HIGHEST  # full-f32 MXU passes; KCC needs the bits
 
 
+def _mm_dtype():
+    """Matmul-DFT input dtype: ``NISLAM_MM_DTYPE=bf16`` halves the bytes
+    every transform moves (the bottleneck on bandwidth-bound devices) by
+    feeding the MXU bf16 operands with f32 accumulation.  Camera images are
+    8-bit; bf16 spectra lose ~3 decimal digits, which the correlation
+    argmax tolerates — gate with the bench ATE before enabling in
+    production.  Default: full f32."""
+    return jnp.bfloat16 if os.environ.get("NISLAM_MM_DTYPE") == "bf16" else None
+
+
 @functools.lru_cache(maxsize=None)
 def _rdft_consts(n: int):
     """(fwd_re, fwd_im) of the (n, n//2+1) truncated DFT and
@@ -114,12 +124,27 @@ def _cdft_consts(n: int):
 
 
 def _mm(a, b):
+    lo = _mm_dtype()
+    if lo is not None:
+        return jnp.matmul(
+            a.astype(lo), b.astype(lo), preferred_element_type=jnp.float32
+        )
     return jnp.matmul(a, b, precision=_PREC)
+
+
+def _emm(spec, m, x):
+    lo = _mm_dtype()
+    if lo is not None:
+        return jnp.einsum(
+            spec, m.astype(lo), x.astype(lo),
+            preferred_element_type=jnp.float32,
+        )
+    return jnp.einsum(spec, m, x, precision=_PREC)
 
 
 def _lmm(m, x):
     """(n, n) constant applied from the left over the -2 axis of x."""
-    return jnp.einsum("ij,...jk->...ik", m, x, precision=_PREC)
+    return _emm("ij,...jk->...ik", m, x)
 
 
 def _rfft2_mm(x: jnp.ndarray) -> jnp.ndarray:
@@ -165,6 +190,24 @@ def rfft2(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.fft.rfft2(x)
 
 
+def rfft2_from_last_spectrum(g: jnp.ndarray) -> jnp.ndarray:
+    """Finish an rfft2 given the last-axis (row-wise) half spectrum ``g``
+    of shape ``(..., H, W//2+1)`` — i.e. apply only the H-axis DFT.
+
+    Lets callers that already hold a row spectrum (the final x-shear of the
+    Fourier rotator) skip the inverse-then-forward W-axis roundtrip, which
+    cancels exactly: ``rfft2(irfft_last(g)) == rfft2_from_last_spectrum(g)``.
+    """
+    h = g.shape[-2]
+    re, im = jnp.real(g), jnp.imag(g)
+    if fft_backend() == "mm":
+        fhr, fhi, _, _ = _cdft_consts(h)
+        rr = _lmm(jnp.asarray(fhr), re) - _lmm(jnp.asarray(fhi), im)
+        ri = _lmm(jnp.asarray(fhr), im) + _lmm(jnp.asarray(fhi), re)
+        return jax.lax.complex(rr, ri)
+    return jnp.fft.fft(g, axis=-2)
+
+
 def irfft2(xf: jnp.ndarray, shape: tuple[int, int]) -> jnp.ndarray:
     """Inverse of :func:`rfft2` with explicit spatial ``shape=(H, W)``.
 
@@ -202,8 +245,8 @@ def rfft_ax2(x: jnp.ndarray) -> jnp.ndarray:
         n = x.shape[-2]
         fwr, fwi, _, _ = _rdft_consts(n)
         # f[..., k, x] = Σ_j fwd[j, k] · x[..., j, x]
-        re = jnp.einsum("jk,...jx->...kx", jnp.asarray(fwr), x, precision=_PREC)
-        im = jnp.einsum("jk,...jx->...kx", jnp.asarray(fwi), x, precision=_PREC)
+        re = _emm("jk,...jx->...kx", jnp.asarray(fwr), x)
+        im = _emm("jk,...jx->...kx", jnp.asarray(fwi), x)
         return jax.lax.complex(re, im)
     return jnp.fft.rfft(x, axis=-2)
 
@@ -212,10 +255,8 @@ def irfft_ax2(xf: jnp.ndarray, n: int) -> jnp.ndarray:
     if fft_backend() == "mm":
         _, _, iwr, iwi = _rdft_consts(n)
         # y[..., j, x] = Σ_k inv[k, j] · f[..., k, x]
-        return jnp.einsum(
-            "kj,...kx->...jx", jnp.asarray(iwr), jnp.real(xf), precision=_PREC
-        ) - jnp.einsum(
-            "kj,...kx->...jx", jnp.asarray(iwi), jnp.imag(xf), precision=_PREC
+        return _emm("kj,...kx->...jx", jnp.asarray(iwr), jnp.real(xf)) - _emm(
+            "kj,...kx->...jx", jnp.asarray(iwi), jnp.imag(xf)
         )
     return jnp.fft.irfft(xf, n=n, axis=-2)
 

@@ -35,14 +35,22 @@ from nislam_tpu.ops.fft import (
     r2c,
     rfft2,
 )
-from nislam_tpu.ops.warp import polar_grid, rotate_wrap, rotate_wrap_fft, warp_polar
+from nislam_tpu.ops.warp import (
+    polar_grid,
+    rotate_wrap,
+    rotate_wrap_fft,
+    rotate_wrap_fft_spectrum,
+    warp_polar,
+)
 
 
-def _rotate_fn(cfg: CFConfig):
-    """De-rotation resampler per config (fft → 3-shear, else gather)."""
+def _rotate_spectrum_fn(cfg: CFConfig):
+    """``(img, deg) -> rfft2(rotate(img, deg))`` per config: the fused
+    shear-spectrum path (fft method — skips one W-axis roundtrip), else
+    gather-rotate followed by rfft2."""
     if cfg.rotate_method == "fft" and cfg.height % 2 == 0 and cfg.width % 2 == 0:
-        return rotate_wrap_fft
-    return rotate_wrap
+        return rotate_wrap_fft_spectrum
+    return lambda img, deg: rfft2(rotate_wrap(img, deg))
 
 
 @jax.tree_util.register_dataclass
@@ -267,19 +275,19 @@ def compute_pose(
     )
     degree = normalize_degree(rots[..., 0] * (2.0 / cfg.rotation_divisor) * 180.0)
 
-    rotate = _rotate_fn(cfg)
+    rotate_spec = _rotate_spectrum_fn(cfg)
     if not large_rotation:
         degree = jnp.where(jnp.abs(degree) > 90.0, degree - 180.0, degree)
-        rot = rotate(image, -degree)
+        rot_fft = rotate_spec(image, -degree)
         trans, info_trans = estimate_trans(
-            last_fft, rfft2(rot), r2c(ops.target_fft), ishape, cfg, filt=filt_img
+            last_fft, rot_fft, r2c(ops.target_fft), ishape, cfg, filt=filt_img
         )
     else:
         # Both hypotheses in one batched rotate + FFT + registration.
         degs = jnp.stack([-degree, -degree + 180.0], axis=-1)  # (..., 2)
-        rot2 = rotate(image[..., None, :, :], degs)  # (..., 2, H, W)
+        rot2_fft = rotate_spec(image[..., None, :, :], degs)  # (..., 2, H, W2)
         trans2, info2 = estimate_trans(
-            last_fft[..., None, :, :], rfft2(rot2), r2c(ops.target_fft), ishape, cfg,
+            last_fft[..., None, :, :], rot2_fft, r2c(ops.target_fft), ishape, cfg,
             filt=None if filt_img is None else filt_img[..., None, :, :],
         )
         take_veri = info2[..., 1] > info2[..., 0]

@@ -19,10 +19,17 @@ from __future__ import annotations
 
 import math
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
-from nislam_tpu.ops.fft import irfft_ax2, irfft_last, rfft_ax2, rfft_last
+from nislam_tpu.ops.fft import (
+    irfft_ax2,
+    irfft_last,
+    rfft2_from_last_spectrum,
+    rfft_ax2,
+    rfft_last,
+)
 
 
 def bilinear_sample(
@@ -111,16 +118,22 @@ def warp_polar(img: jnp.ndarray, grid_x: jnp.ndarray, grid_y: jnp.ndarray) -> jn
     return bilinear_sample(img, grid_x, grid_y, wrap=False)
 
 
-def _shear_x(img: jnp.ndarray, s: jnp.ndarray) -> jnp.ndarray:
-    """Circular x-shear: dst(y, x) = src(y, x + s·(y − cy)) via the Fourier
-    shift theorem along rows (no gathers, sinc interpolation, exact wrap)."""
+def _shear_x_spectrum(img: jnp.ndarray, s: jnp.ndarray) -> jnp.ndarray:
+    """Row-wise half spectrum of the circular x-shear of ``img`` —
+    the shear phase applied to ``rfft_last(img)``, inverse NOT taken."""
     h, w = img.shape[-2], img.shape[-1]
     f = rfft_last(img)  # (..., H, W//2+1)
     kx = jnp.arange(w // 2 + 1, dtype=jnp.float32)
     y = jnp.arange(h, dtype=jnp.float32) - h / 2.0
     d = s[..., None] * y  # (..., H) row shifts
     phase = jnp.exp(2j * jnp.pi / w * d[..., :, None] * kx)  # (..., H, W//2+1)
-    return irfft_last(f * phase, w)
+    return f * phase
+
+
+def _shear_x(img: jnp.ndarray, s: jnp.ndarray) -> jnp.ndarray:
+    """Circular x-shear: dst(y, x) = src(y, x + s·(y − cy)) via the Fourier
+    shift theorem along rows (no gathers, sinc interpolation, exact wrap)."""
+    return irfft_last(_shear_x_spectrum(img, s), img.shape[-1])
 
 
 def _shear_y(img: jnp.ndarray, s: jnp.ndarray) -> jnp.ndarray:
@@ -158,16 +171,40 @@ def rotate_wrap_fft(img: jnp.ndarray, degree: jnp.ndarray) -> jnp.ndarray:
     h, w = img.shape[-2], img.shape[-1]
     if h % 2 or w % 2:
         raise ValueError(f"rotate_wrap_fft requires even sizes, got {h}x{w}")
+    img, a, b = _fold_and_shears(img, degree)
+    return _shear_x(_shear_y(_shear_x(img, a), b), a)
+
+
+def _fold_and_shears(img, degree):
+    """Fold the angle into (-90, 90] (+ exact 180° flip of the image) and
+    return the two shear factors of R(θ) = Sx(-tan θ/2)·Sy(sin θ)·Sx(-tan θ/2)."""
     deg = jnp.asarray(degree, jnp.float32)
-    # Fold into (-90, 90] + optional 180° flip.
     d = deg - 360.0 * jnp.floor((deg + 180.0) / 360.0)  # (-180, 180]
     flip = jnp.abs(d) > 90.0
     d = jnp.where(flip, d - jnp.sign(d) * 180.0, d)
     img = jnp.where(flip[..., None, None], _rot180(img), img)
     rad = d * (math.pi / 180.0)
-    a = -jnp.tan(rad / 2.0)
-    b = jnp.sin(rad)
-    return _shear_x(_shear_y(_shear_x(img, a), b), a)
+    return img, -jnp.tan(rad / 2.0), jnp.sin(rad)
+
+
+def rotate_wrap_fft_spectrum(img: jnp.ndarray, degree: jnp.ndarray) -> jnp.ndarray:
+    """``rfft2(rotate_wrap_fft(img, degree))`` with the final shear's
+    inverse W-axis transform and the rfft2's forward W-axis transform
+    cancelled — the KCC tracking path always FFTs the de-rotated image
+    (/root/reference/src/correlation_flow.cc:110-114), so fusing saves one
+    full W-axis roundtrip per registration."""
+    h, w = img.shape[-2], img.shape[-1]
+    if h % 2 or w % 2:
+        raise ValueError(f"rotate_wrap_fft requires even sizes, got {h}x{w}")
+    img, a, b = _fold_and_shears(img, degree)
+    g = _shear_x_spectrum(_shear_y(_shear_x(img, a), b), a)
+    # A real signal's DC and Nyquist bins are real; irfft silently drops
+    # their imaginary parts (the shear phase at Nyquist is exp(iπd), complex
+    # for fractional shifts).  Project so the fusion equals the roundtrip.
+    im = jnp.imag(g)
+    im = im.at[..., 0].set(0.0).at[..., -1].set(0.0)
+    g = jax.lax.complex(jnp.real(g), im)
+    return rfft2_from_last_spectrum(g)
 
 
 def rotate_wrap(img: jnp.ndarray, degree: jnp.ndarray) -> jnp.ndarray:

@@ -29,6 +29,7 @@ from nislam_tpu.core.slam import (
     StepOutput,
     check_and_optimize_final,
     init_state,
+    maybe_optimize,
     slam_step,
 )
 from nislam_tpu.ops.registration import make_cf_ops
@@ -108,6 +109,55 @@ class BatchSlamEngine:
                 out_shardings=(sh, sh),
             )
         return lambda states, images: jfn(states, images, self._cf_ops, self._camera)
+
+    @functools.cached_property
+    def optimize(self):
+        """Vmapped deferred trigger (chunk-boundary solves).  Under vmap the
+        ≥2-pending ``cond`` lowers to a select — every lane pays the batched
+        dense Cholesky whenever the program runs — so the driver invokes it
+        once per chunk, not per frame."""
+        config = self.config
+
+        def fn(states, camera):
+            return jax.vmap(
+                functools.partial(maybe_optimize, config=config, camera=camera)
+            )(states)
+
+        if self.mesh is None:
+            jfn = jax.jit(fn, donate_argnums=0)
+        else:
+            sh = self._state_sharding
+            rep = NamedSharding(self.mesh, P())
+            jfn = jax.jit(
+                fn, donate_argnums=0, in_shardings=(sh, rep), out_shardings=(sh, sh)
+            )
+        return lambda states: jfn(states, self._camera)
+
+    def run_sequences(
+        self, states, images, *, numpy_outputs: bool = True, chunk_frames: int = 64
+    ):
+        """Chunked driver over (B, N, H, W): scan chunks with the batched
+        deferred trigger between them — the batch analogue of
+        ``SlamEngine.run_sequence``."""
+        import numpy as np
+
+        images = jnp.asarray(images)
+        n = images.shape[1]
+        c = min(chunk_frames, n)
+        outs_list = []
+        for i in range(n // c):
+            states, o = self.run_chunk(states, images[:, i * c:(i + 1) * c])
+            outs_list.append(o)
+            states, _ = self.optimize(states)
+        rem = n - (n // c) * c
+        if rem:
+            states, o = self.run_chunk(states, images[:, n - rem:])
+            outs_list.append(o)
+            states, _ = self.optimize(states)
+        outs = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=1), *outs_list)
+        if numpy_outputs:
+            outs = jax.tree.map(np.asarray, outs)
+        return states, outs
 
     @functools.cached_property
     def finalize(self):

@@ -218,3 +218,33 @@ def test_cli_end_to_end(tmp_path):
     assert os.path.exists(f"{ds}/state.npz")
     t, poses = read_tum(f"{ds}/saving/optimized_keyframe.txt")
     assert len(t) > 5 and poses.shape[1] == 3
+
+
+def test_shipped_configs_load():
+    """Every YAML under configs/ parses into a coherent SlamConfig with the
+    reference's field values (VERDICT r1 task 9)."""
+    import os
+
+    from nislam_tpu.core.config import load_config
+
+    root = os.path.join(os.path.dirname(__file__), "..", "configs")
+    cfgs = {}
+    for name in sorted(os.listdir(root)):
+        if name.endswith(".yaml"):
+            cfgs[name] = load_config(os.path.join(root, name), load_camera=False)
+    assert {"config_ntu.yaml", "config_HD.yaml", "config_geekplus.yaml",
+            "config_tum.yaml"} <= set(cfgs)
+    ntu = cfgs["config_ntu.yaml"]
+    assert (ntu.cf.width, ntu.cf.height) == (640, 480)
+    assert (ntu.cf.rotation_divisor, ntu.cf.rotation_channel) == (720, 480)
+    assert ntu.keyframe_selection.max_distance == 0.4
+    hd = cfgs["config_HD.yaml"]
+    assert (hd.cf.width, hd.cf.height) == (1600, 1200)
+    assert hd.keyframe_selection.max_distance == 0.01
+    assert hd.keyframe_selection.max_angle == 6.3
+    gp = cfgs["config_geekplus.yaml"]
+    assert (gp.cf.width, gp.cf.height) == (448, 448)
+    assert gp.keyframe_selection.upper_response_thr == 60
+    for c in cfgs.values():
+        assert c.cf.lambda_ == 0.1 and c.cf.kernel == 0
+        assert c.map_stitcher.stitch_map

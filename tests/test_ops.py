@@ -257,3 +257,22 @@ def test_compute_pose_jit_and_vmap(rng):
     assert vpose.shape == (2, 3)
     np.testing.assert_allclose(np.asarray(-vpose[0, :2]), [3, 2], atol=1.5)
     np.testing.assert_allclose(np.asarray(-vpose[1, :2]), [5, -4], atol=1.5)
+
+
+def test_rotate_spectrum_fusion_matches_unfused(rng):
+    """rotate_wrap_fft_spectrum == rfft2(rotate_wrap_fft) on both backends."""
+    import os
+
+    from nislam_tpu.ops.fft import rfft2
+    from nislam_tpu.ops.warp import rotate_wrap_fft, rotate_wrap_fft_spectrum
+
+    img = rng.random((24, 32), dtype=np.float32)
+    for backend in ("xla", "mm"):
+        os.environ["NISLAM_FFT"] = backend
+        try:
+            for deg in (0.0, 17.3, -44.0, 135.0, -170.0):
+                want = np.asarray(rfft2(rotate_wrap_fft(jnp.asarray(img), jnp.asarray(deg))))
+                got = np.asarray(rotate_wrap_fft_spectrum(jnp.asarray(img), jnp.asarray(deg)))
+                np.testing.assert_allclose(got, want, atol=2e-4)
+        finally:
+            os.environ.pop("NISLAM_FFT", None)

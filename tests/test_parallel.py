@@ -224,3 +224,40 @@ def test_distributed_engine_matches_single():
     np.testing.assert_allclose(
         np.asarray(s8.bank.poses[:k]), np.asarray(s1.bank.poses[:k]), atol=5e-3
     )
+
+
+def test_batch_run_sequences_with_loops_matches_single():
+    """Batch chunked driver (mid-sequence batched solves) lane-for-lane
+    equals the single engine's deferred driver at the same chunking."""
+    from nislam_tpu.utils.synthetic import heading_loop_path
+
+    mesh = make_mesh({"data": 2}, devices=jax.devices()[:2])
+    cfg = _config(loop_closure=LoopClosureConfig(
+        to_find_loop=True, position_response_thr=8.0, angle_response_thr=8.0,
+        frame_gap_thr=20, distance_thr=0.8, max_candidates=8,
+    ))
+    worlds = [make_world(512, 3.0, seed=s) for s in (1, 2)]
+    seqs = np.stack([
+        render_sequence(w, H, W,
+                        heading_loop_path(48, step=3.5, start=(256.0, 256.0), tail=8))
+        for w in worlds
+    ])
+
+    beng = make_batch_engine(cfg, batch=2, mesh=mesh)
+    states = beng.init_states()
+    states, bouts = beng.run_sequences(states, jnp.asarray(seqs), chunk_frames=16)
+    states, _ = beng.finalize(states)
+
+    single = make_engine(cfg)
+    for b in range(2):
+        st = single.init_state()
+        st, souts = single.run_sequence(st, jnp.asarray(seqs[b]), chunk_frames=16)
+        st, _ = single.finalize(st)
+        np.testing.assert_array_equal(bouts.inserted[b], np.asarray(souts.inserted))
+        np.testing.assert_array_equal(bouts.loop_found[b], np.asarray(souts.loop_found))
+        np.testing.assert_allclose(bouts.pose[b], np.asarray(souts.pose), atol=1e-4)
+        k = int(np.asarray(st.bank.count))
+        np.testing.assert_allclose(
+            np.asarray(states.bank.poses[b][:k]), np.asarray(st.bank.poses[:k]),
+            atol=1e-4,
+        )

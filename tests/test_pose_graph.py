@@ -154,3 +154,69 @@ def test_scale_fixed_when_height_accurate(rng):
     cfg = SolverConfig(estimate_scale=True)
     _, scale, _ = solve_pose_graph(prob, cfg, init_scale=1.0, scale_free=False)
     assert float(scale) == 1.0
+
+
+def test_optimize_map_whitens_non_identity_information():
+    """_optimize_map must whiten via the information Cholesky factor
+    (reference pose_graph_2d.cc:74); with strongly anisotropic info on one
+    edge the solution must move toward that edge's measurement relative to
+    the identity-info solve (r1 passed raw info as sqrt_info — a silent
+    wrong-result bug the moment info != I)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from nislam_tpu.core.camera import make_camera_ops
+    from nislam_tpu.core.config import CameraConfig, CFConfig, MapConfig, SlamConfig
+    from nislam_tpu.core.map_store import (
+        add_edge,
+        add_keyframe,
+        make_edge_store,
+        make_keyframe_bank,
+    )
+    from nislam_tpu.core.slam import _optimize_map
+
+    cf = CFConfig(width=32, height=24, rotation_divisor=36, rotation_channel=16)
+    mp = MapConfig(keyframe_capacity=4, edge_capacity=8, store_images=False)
+    cam = make_camera_ops(CameraConfig(
+        image_width=32, image_height=24, height=1.0,
+        intrinsics=(1.0, 16.0, 1.0, 12.0),  # fx=1 -> camera frame == robot
+    ))
+    config = SlamConfig(cf=cf, map=mp, camera=CameraConfig(
+        image_width=32, image_height=24, height=1.0,
+        intrinsics=(1.0, 16.0, 1.0, 12.0),
+    ))
+
+    def bank_with_poses(poses):
+        bank = make_keyframe_bank(cf, mp)
+        for i, p in enumerate(poses):
+            bank = add_keyframe(
+                bank,
+                fft=jnp.zeros((24, 17, 2)), polar_fft=jnp.zeros((36, 9, 2)),
+                image=jnp.zeros((0, 0)), pose=jnp.asarray(p, jnp.float32),
+                frame_id=jnp.asarray(i, jnp.int32), distance=jnp.zeros(()),
+                grid_scale=0.1, enabled=jnp.asarray(True),
+            ).bank
+        return bank
+
+    # Two conflicting edges 0->1; x-measurements disagree (1.0 vs 2.0).
+    def edges_with(info2):
+        es = make_edge_store(mp)
+        es = add_edge(es, from_slot=jnp.asarray(0), to_slot=jnp.asarray(1),
+                      T=jnp.asarray([1.0, 0.0, 0.0]), edge_type=1,
+                      enabled=jnp.asarray(True))
+        es = add_edge(es, from_slot=jnp.asarray(0), to_slot=jnp.asarray(1),
+                      T=jnp.asarray([2.0, 0.0, 0.0]), edge_type=1,
+                      enabled=jnp.asarray(True), info=info2)
+        return es
+
+    bank = bank_with_poses([[0, 0, 0], [1.4, 0, 0]])
+    eye = jnp.eye(3)
+    poses_eq, _ = _optimize_map(bank, edges_with(eye), config, cam)
+    # equal weights -> midpoint of the two measurements
+    np.testing.assert_allclose(float(poses_eq[1, 0]), 1.5, atol=1e-3)
+
+    heavy = jnp.diag(jnp.asarray([100.0, 1.0, 1.0]))  # trust edge 2's x 100x
+    poses_w, _ = _optimize_map(bank, edges_with(heavy), config, cam)
+    # info-weighted mean: (1*1 + 100*2)/101 = 1.990...
+    np.testing.assert_allclose(float(poses_w[1, 0]), 201.0 / 101.0, atol=1e-3)
