@@ -49,13 +49,18 @@ def main() -> int:
         ">1 = speculative block tracking (core/lookahead.py), ATE-gated",
     )
     ap.add_argument(
-        "--scaling", type=int, default=0, metavar="N",
-        help="also measure data-parallel scaling efficiency on an N-device "
+        "--scaling", type=int, default=-1, metavar="N",
+        help="measure data-parallel scaling efficiency on an N-device "
         "virtual CPU mesh (BASELINE: >=80%% frames/s scaling at >=2 "
         "hosts; virtual mesh = the collective-overhead proxy available "
-        "on a 1-chip host)",
+        "on a 1-chip host). 0 disables; default auto-sizes to the host "
+        "core count (one virtual device per core — more would measure "
+        "timeslicing, not partitioning overhead) so the driver-recorded "
+        "JSON always carries the scaling_efficiency key",
     )
     args = ap.parse_args()
+    if args.scaling < 0:
+        args.scaling = max(2, min(8, os.cpu_count() or 2))
 
     if args.scaling:
         flags = os.environ.get("XLA_FLAGS", "")

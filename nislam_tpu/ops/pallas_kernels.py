@@ -76,15 +76,17 @@ def peak_stats(
     jnp elsewhere.  ``force`` ∈ {"pallas", "jnp"} pins the implementation
     (testing).
     """
-    impl = force or (
-        "pallas" if jax.default_backend() == "tpu" and not _DISABLE else "jnp"
-    )
-    if impl == "jnp":
+    if force == "jnp" or _DISABLE:
         return _jnp_peak_stats(g)
     fn = _pallas_peak_stats_2d
     for _ in range(g.ndim - 2):
         fn = jax.vmap(fn)
-    return fn(g)
+    if force == "pallas":
+        return fn(g)
+    # Decide at LOWERING time, not trace time: one process can hold both a
+    # TPU main program and a CPU-mesh program (bench scaling proxy), and
+    # `jax.default_backend()` only describes the former.
+    return jax.lax.platform_dependent(g, tpu=fn, default=_jnp_peak_stats)
 
 
 def psr_from_stats(
