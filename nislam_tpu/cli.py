@@ -82,6 +82,14 @@ def cmd_run(args: argparse.Namespace) -> int:
     else:
         prof_ctx = contextlib.nullcontext()
 
+    # Mid-run pose-graph triggering (CheckAndOptimize parity,
+    # map_builder.cc:108-116): in deferred mode the separately-jitted
+    # `optimize` program runs per frame (step mode) / per chunk (scan mode);
+    # its lax.cond body only executes when ≥2 loop matches are pending, so
+    # the extra dispatch is cheap.  With optimizer.inline the solve is
+    # already compiled into the step itself.
+    deferred = not config.optimizer.inline
+    mid_run_solves = 0
     all_times: List[float] = []
     outs_list = []
     t_start = time.time()
@@ -92,6 +100,9 @@ def cmd_run(args: argparse.Namespace) -> int:
             all_times.append(ts)
             t1 = time.time()
             state, out = engine.step(state, jnp.asarray(img))
+            if deferred:
+                state, ran_mid = engine.optimize(state)
+                mid_run_solves += int(ran_mid)
             out = jax.tree.map(np.asarray, out)  # sync
             t2 = time.time()
             print(f"{i}: processing for one frame is {1e3 * (t2 - t1):.2f}ms")
@@ -108,6 +119,9 @@ def cmd_run(args: argparse.Namespace) -> int:
             images, ts = images[: n - done], ts[: n - done]
             all_times.extend(ts.tolist())
             state, out = engine.run_chunk(state, jnp.asarray(images))
+            if deferred:
+                state, ran_mid = engine.optimize(state)
+                mid_run_solves += int(ran_mid)
             chunks.append(jax.tree.map(np.asarray, out))
             done += len(images)
         outs = jax.tree.map(lambda *xs: np.concatenate(xs), *chunks)
@@ -122,8 +136,22 @@ def cmd_run(args: argparse.Namespace) -> int:
         f"{n} frames in {elapsed:.2f}s = {fps:.1f} frames/s | "
         f"keyframes {n_kf} | edges {int(state.edges.count)} | "
         f"loops {int(outs.loop_found.sum())} | "
-        f"optimized {int(outs.optimized.sum()) + int(ran)}x"
+        f"optimized {int(outs.optimized.sum()) + mid_run_solves + int(ran)}x"
     )
+    print(f"mid-run pose-graph solves: {mid_run_solves + int(outs.optimized.sum())}")
+    edge_ovf = int(state.edges.overflow)
+    bank_ovf = int(state.bank.overflow)
+    if edge_ovf:
+        print(
+            f"WARNING: edge store overran capacity {int(state.edges.capacity)} "
+            f"({edge_ovf} forced replacements/drops — oldest odometry edges "
+            f"were sacrificed; raise map.edge_capacity)"
+        )
+    if bank_ovf and config.map.eviction == "drop":
+        print(
+            f"WARNING: keyframe bank dropped {bank_ovf} keyframes at capacity "
+            f"{state.bank.capacity} (eviction=drop; raise map.keyframe_capacity)"
+        )
 
     # --- trajectory dumps (main.cpp:88-98) -------------------------------
     saving_root = args.saving_root or config.saving.saving_root

@@ -250,6 +250,11 @@ class SlamEngine:
         deferred = not self.config.optimizer.inline
         images = jnp.asarray(images)
         n = images.shape[0]
+        if n == 0:  # empty sequence: nothing to scan (ADVICE r2 #4)
+            outs = empty_step_output()
+            if numpy_outputs:
+                outs = jax.tree.map(np.asarray, outs)
+            return state, outs
         outs_list = []
 
         if k == 1:
@@ -313,6 +318,18 @@ class SlamEngine:
             return check_and_optimize_final(state, config=config, camera=camera)
 
         return lambda state: fn(state, self.camera)
+
+
+def empty_step_output() -> StepOutput:
+    """A zero-frame ``StepOutput`` (empty-sequence drivers)."""
+    b = jnp.zeros((0,), bool)
+    i = jnp.zeros((0,), jnp.int32)
+    v3 = jnp.zeros((0, 3), jnp.float32)
+    return StepOutput(
+        tracked=b, inserted=b, loop_found=b, optimized=b,
+        response=v3, cf_pose=v3, pose=v3,
+        frame_id=i, keyframe_slot=i, loop_slot=i,
+    )
 
 
 def make_engine(config: SlamConfig) -> SlamEngine:
@@ -445,6 +462,21 @@ def _invalidate_pending(pending: PendingLoops, evicted: jnp.ndarray) -> PendingL
     )
 
 
+def _live_pending_count(pending: PendingLoops) -> jnp.ndarray:
+    """Number of pending matches still valid (not voided by eviction).
+
+    The ≥2-matches optimize trigger counts LIVE entries: a voided entry
+    (``loop_slot == -1`` after :func:`_invalidate_pending`) keeps its
+    position but must not count toward the reference's 2-match confirmation
+    threshold (map_builder.cc:108) — r2 ADVICE finding #2.
+    """
+    p = pending.loop_slot.shape[0]
+    live = jnp.logical_and(
+        jnp.arange(p) < pending.count, pending.loop_slot >= 0
+    )
+    return jnp.sum(live.astype(jnp.int32))
+
+
 def _add_loop_edges_and_solve(
     state: SlamState,
     config: SlamConfig,
@@ -491,7 +523,7 @@ def _flush_pending_loops(
     The reference clears pending matches even when <2 accumulated
     (map_builder.cc:114-115) — single unconfirmed matches are discarded.
     """
-    run = state.pending.count >= 2
+    run = _live_pending_count(state.pending) >= 2
     state = jax.lax.cond(
         run,
         lambda st: _add_loop_edges_and_solve(st, config, camera, solver_fn),
@@ -532,7 +564,7 @@ def maybe_optimize(
         )
         return dataclasses.replace(st, track=tr)
 
-    run = state.pending.count >= 2
+    run = _live_pending_count(state.pending) >= 2
     state = jax.lax.cond(run, do, lambda st: st, state)
     return state, run
 

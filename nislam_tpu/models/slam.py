@@ -54,10 +54,21 @@ class FullSlam:
     # -- mapping (MapStitcher + occupancy export) -------------------------
     def stitch(self, state: SlamState) -> StitchCanvas:
         """The occupancy canvas: the live one when stitching online
-        (map_builder.cc:62,113 semantics), else rasterized on demand."""
+        (map_builder.cc:62,113 semantics), else rasterized on demand.
+
+        The online canvas is scatter-add insert-only, so pixels contributed
+        by keyframes later evicted from the ring bank linger until the next
+        solve-triggered recompute (ADVICE r2 #3).  When any eviction has
+        occurred (``bank.overflow > 0`` under ring eviction) the export
+        therefore re-rasterizes from the live bank instead of returning the
+        possibly stale-inclusive live canvas.
+        """
         if not self.config.map_stitcher.stitch_map:
             raise ValueError("map_stitcher.stitch_map is disabled in config")
-        if self.config.map_stitcher.online and state.canvas.size:
+        evicted_any = (
+            self.config.map.eviction == "ring" and int(state.bank.overflow) > 0
+        )
+        if self.config.map_stitcher.online and state.canvas.size and not evicted_any:
             return state.canvas
         return recompute(
             make_canvas(self.config.map_stitcher), state.bank, self._engine.camera

@@ -64,12 +64,40 @@ def r2c(y: jnp.ndarray) -> jnp.ndarray:
     return jax.lax.complex(y[..., 0], y[..., 1])
 
 
+_BACKEND: str | None = None  # resolved once, then frozen (see fft_backend)
+_MM_LO = "unset"  # sentinel; resolved once in _mm_dtype
+
+
 def fft_backend() -> str:
-    """Resolve the transform backend (see module docstring)."""
-    env = os.environ.get("NISLAM_FFT", "auto")
-    if env in ("mm", "xla"):
-        return env
-    return "xla" if jax.default_backend() == "cpu" else "mm"
+    """Resolve the transform backend (see module docstring).
+
+    Resolved ONCE per process (first call) and then frozen: jitted engine
+    programs bake the backend into their traces, so re-reading the env var
+    mid-process would silently split the program cache between backends.
+    Changing ``NISLAM_FFT`` requires a fresh process; tests use
+    :func:`set_fft_backend`, which also drops all cached jit programs.
+    """
+    global _BACKEND
+    if _BACKEND is None:
+        env = os.environ.get("NISLAM_FFT", "auto")
+        if env in ("mm", "xla"):
+            _BACKEND = env
+        else:
+            _BACKEND = "xla" if jax.default_backend() == "cpu" else "mm"
+    return _BACKEND
+
+
+def set_fft_backend(backend: str | None) -> None:
+    """Force the transform backend ("mm"/"xla") or reset to auto (None).
+
+    Clears JAX's program caches so no trace from the previous backend
+    survives — mixed-backend cached programs were ADVICE r2 finding #5.
+    """
+    global _BACKEND
+    if backend not in ("mm", "xla", None):
+        raise ValueError(f"invalid backend {backend!r}")
+    _BACKEND = backend
+    jax.clear_caches()
 
 
 # ---------------------------------------------------------------------------
@@ -85,8 +113,20 @@ def _mm_dtype():
     feeding the MXU bf16 operands with f32 accumulation.  Camera images are
     8-bit; bf16 spectra lose ~3 decimal digits, which the correlation
     argmax tolerates — gate with the bench ATE before enabling in
-    production.  Default: full f32."""
-    return jnp.bfloat16 if os.environ.get("NISLAM_MM_DTYPE") == "bf16" else None
+    production.  Default: full f32.  Resolved once per process (same
+    trace-baking hazard as :func:`fft_backend`); use :func:`set_mm_dtype`
+    to change it mid-process."""
+    global _MM_LO
+    if _MM_LO == "unset":
+        _MM_LO = jnp.bfloat16 if os.environ.get("NISLAM_MM_DTYPE") == "bf16" else None
+    return _MM_LO
+
+
+def set_mm_dtype(dtype) -> None:
+    """Pin the matmul-DFT input dtype (None = f32) and drop cached traces."""
+    global _MM_LO
+    _MM_LO = dtype
+    jax.clear_caches()
 
 
 @functools.lru_cache(maxsize=None)

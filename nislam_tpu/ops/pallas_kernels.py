@@ -7,10 +7,13 @@ squares).  :func:`peak_stats` fuses them into ONE VMEM pass (SURVEY §7 hard
 part 5): the response block is read once and all four moments come out
 together.  Falls back to plain ``jnp`` off-TPU (CPU tests, interpret-free).
 
-Conventions match the reference exactly: row-major argmax with
-first-maximum tie-break (Eigen ``maxCoeff`` semantics,
-/root/reference/src/correlation_flow.cc:160-165) and the PSR definition of
-``GetInfo`` (:238-243).
+Conventions match the reference exactly: **column-major** first-maximum
+tie-break — the reference's response arrays are default (column-major)
+``Eigen::ArrayXXf`` and ``maxCoeff(&row, &col)`` traverses storage order,
+so the first maximum in column-major order wins
+(/root/reference/src/correlation_flow.cc:160-165) — and the PSR definition
+of ``GetInfo`` (:238-243).  Ties only matter for bit-exact parity on
+constructed inputs; real correlation responses never tie.
 """
 
 from __future__ import annotations
@@ -30,7 +33,13 @@ _DISABLE = os.environ.get("NISLAM_NO_PALLAS", "") not in ("", "0")
 def _jnp_peak_stats(g: jnp.ndarray) -> Tuple[jnp.ndarray, ...]:
     h, w = g.shape[-2], g.shape[-1]
     flat = g.reshape(*g.shape[:-2], h * w)
-    idx = jnp.argmax(flat, axis=-1)
+    # argmax over the transposed view = first maximum in column-major
+    # traversal order (Eigen maxCoeff parity); result converted back to a
+    # row-major flat index.
+    idx_cm = jnp.argmax(jnp.swapaxes(g, -2, -1).reshape(*g.shape[:-2], h * w), axis=-1)
+    row = idx_cm % h
+    col = idx_cm // h
+    idx = row * w + col
     peak = jnp.take_along_axis(flat, idx[..., None], axis=-1)[..., 0]
     s = jnp.sum(flat, axis=-1)
     ss = jnp.sum(flat * flat, axis=-1)
@@ -47,19 +56,27 @@ def _pallas_peak_stats_2d(g: jnp.ndarray) -> Tuple[jnp.ndarray, ...]:
     def kernel(g_ref, out_ref):
         x = g_ref[:]
         m = jnp.max(x)
-        # Row-major first-max tie-break: flat index of the first maximum.
         rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
         cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
-        flat = rows * w + cols
-        idx = jnp.min(jnp.where(x >= m, flat, h * w))
+        # Column-major first-max tie-break (Eigen maxCoeff parity): minimize
+        # the column-major linear index over the argmax set, then report the
+        # winner as a row-major flat index.
+        flat_cm = cols * h + rows
+        idx_cm = jnp.min(jnp.where(x >= m, flat_cm, h * w))
+        idx = (idx_cm % h) * w + idx_cm // h
         out_ref[0, 0] = m
         out_ref[0, 1] = idx.astype(jnp.float32)
         out_ref[0, 2] = jnp.sum(x)
         out_ref[0, 3] = jnp.sum(x * x)
 
+    # Propagate the input's varying-manifest-axes so the call traces cleanly
+    # inside `jax.shard_map(..., check_vma=True)` (the r2 regression: a
+    # vma-less ShapeDtypeStruct fails check_vma at trace time even when the
+    # lowered platform would pick the jnp branch).
+    vma = getattr(jax.typeof(g), "vma", frozenset()) or frozenset()
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((1, 4), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((1, 4), jnp.float32, vma=vma),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
     )(g)

@@ -143,6 +143,16 @@ class BatchSlamEngine:
 
         images = jnp.asarray(images)
         n = images.shape[1]
+        if n == 0:  # empty sequences: nothing to scan (ADVICE r2 #4)
+            from nislam_tpu.core.slam import empty_step_output
+
+            outs = jax.tree.map(
+                lambda x: jnp.zeros((self.batch,) + x.shape, x.dtype),
+                empty_step_output(),
+            )
+            if numpy_outputs:
+                outs = jax.tree.map(np.asarray, outs)
+            return states, outs
         c = min(chunk_frames, n)
         outs_list = []
         for i in range(n // c):

@@ -261,18 +261,16 @@ def test_compute_pose_jit_and_vmap(rng):
 
 def test_rotate_spectrum_fusion_matches_unfused(rng):
     """rotate_wrap_fft_spectrum == rfft2(rotate_wrap_fft) on both backends."""
-    import os
-
-    from nislam_tpu.ops.fft import rfft2
+    from nislam_tpu.ops.fft import rfft2, set_fft_backend
     from nislam_tpu.ops.warp import rotate_wrap_fft, rotate_wrap_fft_spectrum
 
     img = rng.random((24, 32), dtype=np.float32)
-    for backend in ("xla", "mm"):
-        os.environ["NISLAM_FFT"] = backend
-        try:
+    try:
+        for backend in ("xla", "mm"):
+            set_fft_backend(backend)
             for deg in (0.0, 17.3, -44.0, 135.0, -170.0):
                 want = np.asarray(rfft2(rotate_wrap_fft(jnp.asarray(img), jnp.asarray(deg))))
                 got = np.asarray(rotate_wrap_fft_spectrum(jnp.asarray(img), jnp.asarray(deg)))
                 np.testing.assert_allclose(got, want, atol=2e-4)
-        finally:
-            os.environ.pop("NISLAM_FFT", None)
+    finally:
+        set_fft_backend(None)

@@ -22,11 +22,16 @@ def test_peak_stats_matches_oracle(rng):
 
 
 def test_first_max_tiebreak(rng):
+    """Column-major first-max wins on ties (Eigen maxCoeff traversal order,
+    /root/reference/src/correlation_flow.cc:160-165): (5, 1) precedes (2, 3)
+    when scanning down columns."""
     g = np.zeros((8, 8), np.float32)
-    g[2, 3] = 5.0
-    g[5, 1] = 5.0  # later in row-major order
+    g[2, 3] = 5.0  # column-major linear index 3*8+2 = 26
+    g[5, 1] = 5.0  # column-major linear index 1*8+5 = 13 → first
     _, idx, _, _ = peak_stats(jnp.asarray(g))
-    assert int(idx) == 2 * 8 + 3
+    assert int(idx) == 5 * 8 + 1
+    _, idx2, _, _ = peak_stats(jnp.asarray(g), force="jnp")
+    assert int(idx2) == 5 * 8 + 1
 
 
 def test_psr_from_stats_matches_reference_psr(rng):
