@@ -163,6 +163,42 @@ def _cdft_consts(n: int):
     )
 
 
+# Concatenated-constant variants: the (re, im) planes of every DFT stage
+# ride ONE matmul instead of 2–4.  A complex product (A+iB)(x+iy) needs the
+# four real products Ax, Ay, Bx, By; stacking [A; B] row-wise and [x y]
+# column-wise yields all four as the blocks of a single (2n, 2m) matmul —
+# halving-to-quartering the op count per transform, which is the currency
+# on a dispatch/overhead-bound device, and feeding the MXU wider tiles.
+
+
+@functools.lru_cache(maxsize=None)
+def _rdft_fwd_cat(n: int):
+    """[fwd_re | fwd_im] (n, 2·(n//2+1)): x @ cat = [Re(F) | Im(F)]."""
+    fr, fi, _, _ = _rdft_consts(n)
+    return np.concatenate([fr, fi], axis=1)
+
+
+@functools.lru_cache(maxsize=None)
+def _rdft_inv_cat(n: int):
+    """[inv_re ; -inv_im] (2·(n//2+1), n): [re | im] @ cat = re@inv_re − im@inv_im."""
+    _, _, ir, ii = _rdft_consts(n)
+    return np.concatenate([ir, -ii], axis=0)
+
+
+@functools.lru_cache(maxsize=None)
+def _cdft_fwd_cat(n: int):
+    """[fwd_re ; fwd_im] (2n, n) — left-applied: cat @ x = [re@x ; im@x]."""
+    fr, fi, _, _ = _cdft_consts(n)
+    return np.concatenate([fr, fi], axis=0)
+
+
+@functools.lru_cache(maxsize=None)
+def _cdft_inv_cat(n: int):
+    """[inv_re ; inv_im] (2n, n) — left-applied inverse stages."""
+    _, _, ir, ii = _cdft_consts(n)
+    return np.concatenate([ir, ii], axis=0)
+
+
 def _mm(a, b):
     lo = _mm_dtype()
     if lo is not None:
@@ -182,35 +218,33 @@ def _emm(spec, m, x):
     return jnp.einsum(spec, m, x, precision=_PREC)
 
 
-def _lmm(m, x):
-    """(n, n) constant applied from the left over the -2 axis of x."""
-    return _emm("ij,...jk->...ik", m, x)
-
-
 def _rfft2_mm(x: jnp.ndarray) -> jnp.ndarray:
     h, w = x.shape[-2], x.shape[-1]
-    fwr, fwi, _, _ = _rdft_consts(w)
-    fhr, fhi, _, _ = _cdft_consts(h)
-    tr = _mm(x, jnp.asarray(fwr))
-    ti = _mm(x, jnp.asarray(fwi))
-    rr = _lmm(jnp.asarray(fhr), tr) - _lmm(jnp.asarray(fhi), ti)
-    ri = _lmm(jnp.asarray(fhr), ti) + _lmm(jnp.asarray(fhi), tr)
+    w2 = w // 2 + 1
+    # W axis: one matmul yields both planes side by side.
+    t = _mm(x, jnp.asarray(_rdft_fwd_cat(w)))  # (..., H, 2w2) = [tr | ti]
+    # H axis: one matmul yields all four block products.
+    u = _emm("ij,...jk->...ik", jnp.asarray(_cdft_fwd_cat(h)), t)
+    rr = u[..., :h, :w2] - u[..., h:, w2:]
+    ri = u[..., :h, w2:] + u[..., h:, :w2]
     return jax.lax.complex(rr, ri)
 
 
 def _irfft2_mm(xf: jnp.ndarray, shape: tuple[int, int]) -> jnp.ndarray:
     h, w = shape
-    _, _, iwr, iwi = _rdft_consts(w)
-    _, _, ihr, ihi = _cdft_consts(h)
+    w2 = w // 2 + 1
+    iw_cat = jnp.asarray(_rdft_inv_cat(w))  # [iwr ; -iwi]
     if jnp.iscomplexobj(xf):
-        rr, ri = jnp.real(xf), jnp.imag(xf)
-        ur = _lmm(jnp.asarray(ihr), rr) - _lmm(jnp.asarray(ihi), ri)
-        ui = _lmm(jnp.asarray(ihr), ri) + _lmm(jnp.asarray(ihi), rr)
+        s = jnp.concatenate([jnp.real(xf), jnp.imag(xf)], axis=-1)
+        u = _emm("ij,...jk->...ik", jnp.asarray(_cdft_inv_cat(h)), s)
+        ur = u[..., :h, :w2] - u[..., h:, w2:]
+        ui = u[..., :h, w2:] + u[..., h:, :w2]
+        v = jnp.concatenate([ur, ui], axis=-1)  # (..., H, 2w2) = [ur | ui]
     else:  # real "spectrum" (e.g. a magnitude): imaginary part is zero
         rr = xf.astype(jnp.float32)
-        ur = _lmm(jnp.asarray(ihr), rr)
-        ui = _lmm(jnp.asarray(ihi), rr)
-    return _mm(ur, jnp.asarray(iwr)) - _mm(ui, jnp.asarray(iwi))
+        u = _emm("ij,...jk->...ik", jnp.asarray(_cdft_inv_cat(h)), rr)
+        v = jnp.concatenate([u[..., :h, :], u[..., h:, :]], axis=-1)
+    return _mm(v, iw_cat)  # ur@iwr − ui@iwi
 
 
 # ---------------------------------------------------------------------------
@@ -239,11 +273,12 @@ def rfft2_from_last_spectrum(g: jnp.ndarray) -> jnp.ndarray:
     cancels exactly: ``rfft2(irfft_last(g)) == rfft2_from_last_spectrum(g)``.
     """
     h = g.shape[-2]
-    re, im = jnp.real(g), jnp.imag(g)
     if fft_backend() == "mm":
-        fhr, fhi, _, _ = _cdft_consts(h)
-        rr = _lmm(jnp.asarray(fhr), re) - _lmm(jnp.asarray(fhi), im)
-        ri = _lmm(jnp.asarray(fhr), im) + _lmm(jnp.asarray(fhi), re)
+        w2 = g.shape[-1]
+        s = jnp.concatenate([jnp.real(g), jnp.imag(g)], axis=-1)
+        u = _emm("ij,...jk->...ik", jnp.asarray(_cdft_fwd_cat(h)), s)
+        rr = u[..., :h, :w2] - u[..., h:, w2:]
+        ri = u[..., :h, w2:] + u[..., h:, :w2]
         return jax.lax.complex(rr, ri)
     return jnp.fft.fft(g, axis=-2)
 
@@ -264,17 +299,16 @@ def rfft_last(x: jnp.ndarray) -> jnp.ndarray:
     x = x.astype(jnp.float32)
     if fft_backend() == "mm":
         n = x.shape[-1]
-        fwr, fwi, _, _ = _rdft_consts(n)
-        return jax.lax.complex(_mm(x, jnp.asarray(fwr)), _mm(x, jnp.asarray(fwi)))
+        n2 = n // 2 + 1
+        t = _mm(x, jnp.asarray(_rdft_fwd_cat(n)))  # (..., 2n2) = [re | im]
+        return jax.lax.complex(t[..., :n2], t[..., n2:])
     return jnp.fft.rfft(x, axis=-1)
 
 
 def irfft_last(xf: jnp.ndarray, n: int) -> jnp.ndarray:
     if fft_backend() == "mm":
-        _, _, iwr, iwi = _rdft_consts(n)
-        return _mm(jnp.real(xf), jnp.asarray(iwr)) - _mm(
-            jnp.imag(xf), jnp.asarray(iwi)
-        )
+        s = jnp.concatenate([jnp.real(xf), jnp.imag(xf)], axis=-1)
+        return _mm(s, jnp.asarray(_rdft_inv_cat(n)))  # re@iwr − im@iwi
     return jnp.fft.irfft(xf, n=n, axis=-1)
 
 
@@ -283,21 +317,18 @@ def rfft_ax2(x: jnp.ndarray) -> jnp.ndarray:
     x = x.astype(jnp.float32)
     if fft_backend() == "mm":
         n = x.shape[-2]
-        fwr, fwi, _, _ = _rdft_consts(n)
-        # f[..., k, x] = Σ_j fwd[j, k] · x[..., j, x]
-        re = _emm("jk,...jx->...kx", jnp.asarray(fwr), x)
-        im = _emm("jk,...jx->...kx", jnp.asarray(fwi), x)
-        return jax.lax.complex(re, im)
+        n2 = n // 2 + 1
+        # f[..., k, x] = Σ_j fwd[j, k] · x[..., j, x]; [re ; im] stacked on -2.
+        t = _emm("jk,...jx->...kx", jnp.asarray(_rdft_fwd_cat(n)), x)
+        return jax.lax.complex(t[..., :n2, :], t[..., n2:, :])
     return jnp.fft.rfft(x, axis=-2)
 
 
 def irfft_ax2(xf: jnp.ndarray, n: int) -> jnp.ndarray:
     if fft_backend() == "mm":
-        _, _, iwr, iwi = _rdft_consts(n)
         # y[..., j, x] = Σ_k inv[k, j] · f[..., k, x]
-        return _emm("kj,...kx->...jx", jnp.asarray(iwr), jnp.real(xf)) - _emm(
-            "kj,...kx->...jx", jnp.asarray(iwi), jnp.imag(xf)
-        )
+        s = jnp.concatenate([jnp.real(xf), jnp.imag(xf)], axis=-2)
+        return _emm("kj,...kx->...jx", jnp.asarray(_rdft_inv_cat(n)), s)
     return jnp.fft.irfft(xf, n=n, axis=-2)
 
 

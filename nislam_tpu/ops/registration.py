@@ -29,18 +29,17 @@ import jax.numpy as jnp
 from nislam_tpu.core.config import CFConfig
 from nislam_tpu.ops.fft import (
     c2r,
-    fftshift2,
     impulse_spectrum_pair,
     irfft2,
     r2c,
     rfft2,
 )
 from nislam_tpu.ops.warp import (
-    polar_grid,
+    polar_resample,
+    polar_tap_constants,
     rotate_wrap,
     rotate_wrap_fft,
     rotate_wrap_fft_spectrum,
-    warp_polar,
 )
 
 
@@ -67,23 +66,25 @@ class CFOps:
     cfg: CFConfig = dataclasses.field(metadata=dict(static=True))
     target_fft: jnp.ndarray  # (H, W//2+1, 2) f32 pair — impulse spectrum, image size
     target_rot_fft: jnp.ndarray  # (D, C//2+1, 2) f32 pair — impulse spectrum, polar size
-    polar_x: jnp.ndarray  # (D, C) f32 — polar sampling grid columns
-    polar_y: jnp.ndarray  # (D, C) f32 — polar sampling grid rows
+    polar_idx: jnp.ndarray  # (D, C, 8) i32 — fused power→polar tap indices
+    polar_w: jnp.ndarray  # (D, C, 8) f32 — fused power→polar tap weights
 
 
 def make_cf_ops(cfg: CFConfig) -> CFOps:
     # Spectra are stored as float pairs (ops.fft.c2r): CFOps crosses jit
     # boundaries as an argument, and persistent/boundary complex arrays are
     # not portable across all TPU runtimes.
-    px, py = polar_grid(cfg.height, cfg.width, cfg.rotation_divisor, cfg.rotation_channel)
+    pidx, pw = polar_tap_constants(
+        cfg.height, cfg.width, cfg.rotation_divisor, cfg.rotation_channel
+    )
     return CFOps(
         cfg=cfg,
         target_fft=jnp.asarray(impulse_spectrum_pair(cfg.height, cfg.width)),
         target_rot_fft=jnp.asarray(
             impulse_spectrum_pair(cfg.rotation_divisor, cfg.rotation_channel)
         ),
-        polar_x=jnp.asarray(px),
-        polar_y=jnp.asarray(py),
+        polar_idx=jnp.asarray(pidx),
+        polar_w=jnp.asarray(pw),
     )
 
 
@@ -209,8 +210,11 @@ def compute_intermedium(
     cfg = ops.cfg
     f = rfft2(image)
     power = irfft2(jnp.abs(f), (cfg.height, cfg.width))
-    high = remove_zero_component(power)
-    pol = warp_polar(fftshift2(high), ops.polar_x, ops.polar_y)
+    # DC suppression + fftshift + polar bilinear gather fused into one
+    # precomputed tap table (ops.warp.polar_tap_constants) — two fewer
+    # whole-array data-movement ops than the literal chain
+    # warp_polar(fftshift(remove_zero_component(power))).
+    pol = polar_resample(power, ops.polar_idx, ops.polar_w)
     return f, rfft2(pol)
 
 

@@ -118,6 +118,92 @@ def warp_polar(img: jnp.ndarray, grid_x: jnp.ndarray, grid_y: jnp.ndarray) -> jn
     return bilinear_sample(img, grid_x, grid_y, wrap=False)
 
 
+def polar_tap_constants(
+    h: int, w: int, divisor: int, channel: int, fold_dc: bool = True
+) -> tuple[np.ndarray, np.ndarray]:
+    """Host-precomputed taps for the fused power→polar resample.
+
+    The KCC polar feature chain ``warp_polar(fftshift(remove_zero_component(
+    power)))`` (/root/reference/src/correlation_flow.cc:79-95,228-236) is a
+    fixed linear map of ``power``: the fftshift is an index permutation, the
+    DC suppression replaces row/col 0 with the mean of their ±1 neighbors,
+    and the bilinear polar gather has 4 static taps per output.  Folding all
+    three into one precomputed (index, weight) table removes two whole-array
+    data-movement ops from the hot path and leaves a single static gather +
+    weighted sum that XLA fuses.
+
+    Returns ``(idx, wgt)`` of shape (divisor, channel, K): flat row-major
+    indices into the UNSHIFTED ``power`` array and their weights (taps that
+    fall outside the shifted frame, or redirection slots that are unused,
+    carry weight 0 and index 0).  With ``fold_dc`` K = 8 (a bilinear tap
+    landing on the suppressed row/col 0 redirects to its two mean-source
+    pixels) and the input is the raw ``power``; without it K = 4 (only the
+    fftshift is folded) and the caller applies the DC suppression
+    elementwise first — fewer gather taps at the cost of one cheap
+    whole-array select, the better trade on devices where gathers dominate.
+    """
+    gx, gy = polar_grid(h, w, divisor, channel)  # float coords, SHIFTED frame
+    x0 = np.floor(gx).astype(np.int64)
+    y0 = np.floor(gy).astype(np.int64)
+    wx = (gx - x0).astype(np.float64)
+    wy = (gy - y0).astype(np.float64)
+
+    k = 8 if fold_dc else 4
+    idx = np.zeros((divisor, channel, k), np.int64)
+    wgt = np.zeros((divisor, channel, k), np.float64)
+    slot = np.zeros((divisor, channel), np.int64)
+
+    def emit(yi, xi, weight):
+        """Accumulate one tap given integer coords in the SHIFTED frame."""
+        valid = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w) & (weight > 0)
+        # shifted[y, x] = orig[(y - h//2) % h, (x - w//2) % w]
+        oy = np.mod(yi - h // 2, h)
+        ox = np.mod(xi - w // 2, w)
+        if not fold_dc:
+            branches = ((oy, ox, weight),)
+        else:
+            # DC suppression redirects (corner: col rule wins — the col-0
+            # means are computed from the original array and applied last).
+            on_c0 = ox == 0
+            on_r0 = (oy == 0) & ~on_c0
+            branches = (
+                # plain tap (neither suppressed row nor col)
+                (oy, ox, np.where(on_c0 | on_r0, 0.0, weight)),
+                # row-0 tap → mean of rows 1 and h-1
+                (np.full_like(oy, 1), ox, np.where(on_r0, 0.5 * weight, 0.0)),
+                (np.full_like(oy, h - 1), ox, np.where(on_r0, 0.5 * weight, 0.0)),
+                # col-0 tap → mean of cols 1 and w-1
+                (oy, np.full_like(ox, 1), np.where(on_c0, 0.5 * weight, 0.0)),
+                (oy, np.full_like(ox, w - 1), np.where(on_c0, 0.5 * weight, 0.0)),
+            )
+        for sy, sx, sw in branches:
+            sw = np.asarray(sw, np.float64)
+            use = valid & (sw > 0)
+            ii, jj = np.nonzero(use)
+            s = slot[ii, jj]
+            idx[ii, jj, s] = sy[ii, jj] * w + sx[ii, jj]
+            wgt[ii, jj, s] = sw[ii, jj]
+            slot[ii, jj] = s + 1
+
+    emit(y0, x0, (1.0 - wx) * (1.0 - wy))
+    emit(y0, x0 + 1, wx * (1.0 - wy))
+    emit(y0 + 1, x0, (1.0 - wx) * wy)
+    emit(y0 + 1, x0 + 1, wx * wy)
+    assert slot.max() <= k
+    return idx.astype(np.int32), wgt.astype(np.float32)
+
+
+def polar_resample(power: jnp.ndarray, idx: jnp.ndarray, wgt: jnp.ndarray) -> jnp.ndarray:
+    """Fused power→polar map: static gather + weighted sum over the tap
+    table of :func:`polar_tap_constants`.  ``power`` is the UNSHIFTED
+    (..., H, W) power transform; returns (..., divisor, channel)."""
+    flat = power.reshape(*power.shape[:-2], -1)
+    taps = jnp.take(flat, idx.reshape(-1), axis=-1).reshape(
+        flat.shape[:-1] + idx.shape
+    )
+    return jnp.sum(taps * wgt, axis=-1)
+
+
 def _shear_x_spectrum(img: jnp.ndarray, s: jnp.ndarray) -> jnp.ndarray:
     """Row-wise half spectrum of the circular x-shear of ``img`` —
     the shear phase applied to ``rfft_last(img)``, inverse NOT taken."""

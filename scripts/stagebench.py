@@ -85,17 +85,29 @@ def main():
 
     bench("compute_intermedium (3 xforms+polar)", intermed, img)
 
-    # polar registration with cached filter
+    # polar registration with cached filter.  NB: setup math must be jitted
+    # and carried as float pairs — this backend implements neither eager
+    # slicing nor complex64 host transfers.
+    from nislam_tpu.ops.fft import c2r
+
     pshape = (rd, rc)
     pol = rng.random(pshape).astype(np.float32)
     zf_p = np.fft.rfft2(pol).astype(np.complex64)
-    filt_p = keyframe_filter(jnp.asarray(zf_p), r2c(ops.target_rot_fft), pshape, cfg)
-    filt_p = jax.block_until_ready(filt_p)
+    zf_p_pair = np.stack([zf_p.real, zf_p.imag], axis=-1).astype(np.float32)
+
+    @jax.jit
+    def _mk_filt_p(zp, tgt):
+        return c2r(keyframe_filter(r2c(zp), r2c(tgt), pshape, cfg))
+
+    filt_p_pair = _mk_filt_p(jnp.asarray(zf_p_pair), ops.target_rot_fft)
+    np.asarray(filt_p_pair[..., 0, 0])  # fence
+
+    zf_p_dev = jnp.asarray(zf_p_pair)
 
     def polar_reg(x):
         xf = rfft2(x)
-        tr, psr = estimate_trans(jnp.asarray(zf_p), xf, r2c(ops.target_rot_fft),
-                                 pshape, cfg, filt=filt_p)
+        tr, psr = estimate_trans(r2c(zf_p_dev), xf, r2c(ops.target_rot_fft),
+                                 pshape, cfg, filt=r2c(filt_p_pair))
         return x + (tr[0] + psr) * 1e-20
 
     bench("polar registration (incl rfft2)", polar_reg, pol)
@@ -105,13 +117,21 @@ def main():
 
     ishape = (h, w)
     zf_i = np.fft.rfft2(img).astype(np.complex64)
-    filt_i = keyframe_filter(jnp.asarray(zf_i), r2c(ops.target_fft), ishape, cfg)
-    filt_i = jax.block_until_ready(filt_i)
+    zf_i_pair = jnp.asarray(
+        np.stack([zf_i.real, zf_i.imag], axis=-1).astype(np.float32)
+    )
+
+    @jax.jit
+    def _mk_filt_i(zi, tgt):
+        return c2r(keyframe_filter(r2c(zi), r2c(tgt), ishape, cfg))
+
+    filt_i_pair = _mk_filt_i(zf_i_pair, ops.target_fft)
+    np.asarray(filt_i_pair[..., 0, 0])  # fence
 
     def img_reg(x):
         xf = rfft2(x)
-        tr, psr = estimate_trans(jnp.asarray(zf_i), xf, r2c(ops.target_fft),
-                                 ishape, cfg, filt=filt_i)
+        tr, psr = estimate_trans(r2c(zf_i_pair), xf, r2c(ops.target_fft),
+                                 ishape, cfg, filt=r2c(filt_i_pair))
         return x + (tr[0] + psr) * 1e-20
 
     bench("image registration (incl rfft2)", img_reg, img)

@@ -104,6 +104,36 @@ def test_warp_polar_matches_opencv(rng):
     assert np.abs(ours - oracle).max() < 0.1
 
 
+def test_polar_resample_matches_literal_chain(rng):
+    """The fused tap table == warp_polar(fftshift(remove_zero_component(x)))
+    exactly (it is the same linear map, precomposed)."""
+    from nislam_tpu.ops.fft import fftshift2
+    from nislam_tpu.ops.warp import polar_resample, polar_tap_constants
+
+    img = _texture(rng)
+    div, ch = CFG.rotation_divisor, CFG.rotation_channel
+    gx, gy = polar_grid(H, W, div, ch)
+    want = np.asarray(
+        warp_polar(
+            fftshift2(remove_zero_component(jnp.asarray(img))),
+            jnp.asarray(gx),
+            jnp.asarray(gy),
+        )
+    )
+    idx, wgt = polar_tap_constants(H, W, div, ch)
+    got = np.asarray(
+        polar_resample(jnp.asarray(img), jnp.asarray(idx), jnp.asarray(wgt))
+    )
+    np.testing.assert_allclose(got, want, atol=1e-5)
+    # batched leading axis
+    got2 = np.asarray(
+        polar_resample(
+            jnp.stack([jnp.asarray(img)] * 2), jnp.asarray(idx), jnp.asarray(wgt)
+        )
+    )
+    np.testing.assert_allclose(got2[1], want, atol=1e-5)
+
+
 def test_rotate_wrap_matches_opencv(rng):
     img = _texture(rng)
     for deg in [0.0, 10.0, -37.5, 90.0, 181.0]:
