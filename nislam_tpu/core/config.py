@@ -183,17 +183,12 @@ class SlamConfig:
     """Top-level config bundle — parity with ``Configs``
     (/root/reference/include/read_configs.h:64-133).
 
-    ``lookahead`` enables speculative block tracking: k frames are
-    registered against the current keyframe in ONE batched program per
-    step.  On latency-bound accelerators a k-batch of FFTs costs nearly
-    the same as one, so throughput scales ≈ k×.  Semantics deviations vs
-    lookahead=1 (exact reference behavior), all bounded by the block:
-    the tracking target advances only at block boundaries (frames may
-    register against a keyframe up to k−1 frames staler), and at most one
-    loop-closure search runs per block (for the newest keyframe).
+    (r2's speculative block-tracking mode — ``lookahead`` — was removed in
+    r3: with the matmul-DFT front end per-frame tracking is both faster
+    and exact, and block mode's stale-keyframe deviation broke rotating
+    paths; measured in docs/PROFILE_r2.md §3.)
     """
 
-    lookahead: int = 1
     dataset: DatasetConfig = DatasetConfig()
     cf: CFConfig = CFConfig()
     keyframe_selection: KeyframeSelectionConfig = KeyframeSelectionConfig()
@@ -310,7 +305,6 @@ def load_config(path: str, *, load_camera: bool = True) -> SlamConfig:
         camera = load_camera_config(dataset.camera_file)
 
     return SlamConfig(
-        lookahead=int(node.get("lookahead", 1)),
         dataset=dataset,
         cf=cf,
         keyframe_selection=kfs,

@@ -188,26 +188,47 @@ class SlamEngine:
         return lambda state, images: run(state, images, self.cf_ops, self.camera)
 
     @functools.cached_property
-    def run_blocks(self):
-        """``(state, images[Nb, k, H, W], valid[Nb, k]) -> (state,
-        StepOutput[Nb, k])`` — speculative lookahead scan (k =
-        config.lookahead; see core.lookahead).  State must be initialized
-        (frame 0 via :meth:`step`)."""
-        from nislam_tpu.core.lookahead import slam_step_block
-
+    def run_chunk_masked(self):
+        """``(SlamState, images[N,H,W], valid[N]) -> (SlamState,
+        StepOutput[N])`` — :attr:`run_chunk` with a per-frame validity mask:
+        invalid frames pass the state through untouched and emit a dummy
+        output.  Lets :meth:`run_sequence` pad a tail chunk into the SAME
+        compiled program instead of tracing a second per-frame program for
+        remainder frames (VERDICT r2 #9b)."""
         config = self.config
         defer = not config.optimizer.inline
 
         @functools.partial(jax.jit, donate_argnums=0)
         def run(state, images, valid, cf_ops, camera):
-            def body(st, xs):
-                imgs, v = xs
-                return slam_step_block(
-                    st, imgs, v, config=config, cf_ops=cf_ops, camera=camera,
-                    defer_optimize=defer,
-                )
+            feats = frontend(images, cf_ops=cf_ops, camera=camera)
 
-            return jax.lax.scan(body, state, (images, valid))
+            def body(st, xs):
+                f, v = xs
+
+                def live(st):
+                    return slam_step(
+                        st, None, config=config, cf_ops=cf_ops, camera=camera,
+                        defer_optimize=defer, features=f,
+                    )
+
+                def dead(st):
+                    out = StepOutput(
+                        tracked=jnp.asarray(False),
+                        inserted=jnp.asarray(False),
+                        loop_found=jnp.asarray(False),
+                        optimized=jnp.asarray(False),
+                        response=jnp.zeros(3, jnp.float32),
+                        cf_pose=jnp.zeros(3, jnp.float32),
+                        pose=jnp.zeros(3, jnp.float32),
+                        frame_id=jnp.asarray(-1, jnp.int32),
+                        keyframe_slot=jnp.asarray(-1, jnp.int32),
+                        loop_slot=jnp.asarray(-1, jnp.int32),
+                    )
+                    return st, out
+
+                return jax.lax.cond(v, live, dead, st)
+
+            return jax.lax.scan(body, state, (feats, valid))
 
         return lambda state, images, valid: run(
             state, images, valid, self.cf_ops, self.camera
@@ -236,9 +257,8 @@ class SlamEngine:
     ):
         """Host-side driver over a whole (N, H, W) sequence.
 
-        Frames run through the scan program in chunks of ``chunk_frames``
-        (per-frame when ``lookahead <= 1``, lookahead-sized blocks
-        otherwise); in deferred-optimize mode (the default) the separately-
+        Frames run through the scan program in chunks of ``chunk_frames``;
+        in deferred-optimize mode (the default) the separately-
         jitted :attr:`optimize` program runs between chunks — a single
         extra dispatch per chunk whose ``lax.cond`` body executes only when
         ≥2 loop matches are pending (the reference solves rarely:
@@ -246,63 +266,18 @@ class SlamEngine:
         """
         import numpy as np
 
-        k = max(1, self.config.lookahead)
-        deferred = not self.config.optimizer.inline
-        images = jnp.asarray(images)
-        n = images.shape[0]
-        if n == 0:  # empty sequence: nothing to scan (ADVICE r2 #4)
-            outs = empty_step_output()
-            if numpy_outputs:
-                outs = jax.tree.map(np.asarray, outs)
-            return state, outs
-        outs_list = []
+        if not self.config.optimizer.inline:
+            return chunked_deferred_drive(
+                self, state, images,
+                chunk_frames=chunk_frames, numpy_outputs=numpy_outputs,
+            )
+        import numpy as np
 
-        if k == 1:
-            if not deferred:
-                state, outs = self.run_chunk(state, images)
-            else:
-                c = min(chunk_frames, n)
-                n_chunks = n // c
-                for i in range(n_chunks):
-                    state, o = self.run_chunk(state, images[i * c:(i + 1) * c])
-                    outs_list.append(o)
-                    state, _ = self.optimize(state)
-                for j in range(n_chunks * c, n):  # remainder, per frame
-                    state, o = self.step(state, images[j])
-                    outs_list.append(jax.tree.map(lambda x: x[None], o))
-                    state, _ = self.optimize(state)
-                outs = jax.tree.map(
-                    lambda *xs: jnp.concatenate(xs), *outs_list
-                )
+        images = jnp.asarray(images)
+        if images.shape[0] == 0:  # empty sequence (ADVICE r2 #4)
+            outs = empty_step_output()
         else:
-            state, out0 = self.step(state, images[0])
-            if deferred:
-                state, _ = self.optimize(state)
-            rest = images[1:]
-            m = rest.shape[0]
-            g = max(1, chunk_frames // k)  # blocks per compiled call
-            nb = -(-m // k)
-            ng = -(-nb // g)
-            pad = ng * g * k - m
-            if pad:
-                rest = jnp.concatenate(
-                    [rest, jnp.repeat(rest[-1:], pad, axis=0)], axis=0
-                )
-            valid = (jnp.arange(ng * g * k) < m).reshape(ng, g, k)
-            blocks = rest.reshape(ng, g, k, *images.shape[1:])
-            bouts_list = []
-            for i in range(ng):
-                state, bo = self.run_blocks(state, blocks[i], valid[i])
-                bouts_list.append(bo)
-                if deferred:
-                    state, _ = self.optimize(state)
-            bouts = jax.tree.map(lambda *xs: jnp.concatenate(xs), *bouts_list)
-            flat = jax.tree.map(
-                lambda x: x.reshape(ng * g * k, *x.shape[2:])[:m], bouts
-            )
-            outs = jax.tree.map(
-                lambda a, b: jnp.concatenate([a[None], b]), out0, flat
-            )
+            state, outs = self.run_chunk(state, images)
         if numpy_outputs:
             outs = jax.tree.map(np.asarray, outs)
         return state, outs
@@ -318,6 +293,54 @@ class SlamEngine:
             return check_and_optimize_final(state, config=config, camera=camera)
 
         return lambda state: fn(state, self.camera)
+
+
+def chunked_deferred_drive(
+    engine,
+    state,
+    images,
+    *,
+    chunk_frames: int = 64,
+    numpy_outputs: bool = True,
+):
+    """Shared deferred-mode sequence driver: chunked scans with the
+    separately-jitted optimize trigger between chunks, the tail padded into
+    the SAME compiled program via the masked chunk variant (VERDICT r2 #9b —
+    no second per-frame remainder program, and identical optimize timing for
+    every engine that uses this driver).
+
+    ``engine`` provides ``run_chunk``, ``run_chunk_masked``, ``optimize``.
+    """
+    import numpy as np
+
+    images = jnp.asarray(images)
+    n = images.shape[0]
+    if n == 0:  # empty sequence (ADVICE r2 #4)
+        outs = empty_step_output()
+        if numpy_outputs:
+            outs = jax.tree.map(np.asarray, outs)
+        return state, outs
+    c = min(chunk_frames, n)
+    n_chunks = -(-n // c)  # ceil: tail padded into the same program
+    pad = n_chunks * c - n
+    if pad:
+        images = jnp.concatenate(
+            [images, jnp.repeat(images[-1:], pad, axis=0)], axis=0
+        )
+    valid = jnp.arange(n_chunks * c) < n
+    outs_list = []
+    for i in range(n_chunks):
+        sl = slice(i * c, (i + 1) * c)
+        if pad:
+            state, o = engine.run_chunk_masked(state, images[sl], valid[sl])
+        else:
+            state, o = engine.run_chunk(state, images[sl])
+        outs_list.append(o)
+        state, _ = engine.optimize(state)
+    outs = jax.tree.map(lambda *xs: jnp.concatenate(xs)[:n], *outs_list)
+    if numpy_outputs:
+        outs = jax.tree.map(np.asarray, outs)
+    return state, outs
 
 
 def empty_step_output() -> StepOutput:

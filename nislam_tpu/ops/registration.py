@@ -74,8 +74,11 @@ def make_cf_ops(cfg: CFConfig) -> CFOps:
     # Spectra are stored as float pairs (ops.fft.c2r): CFOps crosses jit
     # boundaries as an argument, and persistent/boundary complex arrays are
     # not portable across all TPU runtimes.
+    # fold_dc=False: 4 taps + one elementwise DC pass beats the 8-tap fully
+    # fused table ~1.5x on TPU (gather taps dominate; scripts/polarbench.py).
     pidx, pw = polar_tap_constants(
-        cfg.height, cfg.width, cfg.rotation_divisor, cfg.rotation_channel
+        cfg.height, cfg.width, cfg.rotation_divisor, cfg.rotation_channel,
+        fold_dc=False,
     )
     return CFOps(
         cfg=cfg,
@@ -210,11 +213,13 @@ def compute_intermedium(
     cfg = ops.cfg
     f = rfft2(image)
     power = irfft2(jnp.abs(f), (cfg.height, cfg.width))
-    # DC suppression + fftshift + polar bilinear gather fused into one
-    # precomputed tap table (ops.warp.polar_tap_constants) — two fewer
-    # whole-array data-movement ops than the literal chain
-    # warp_polar(fftshift(remove_zero_component(power))).
-    pol = polar_resample(power, ops.polar_idx, ops.polar_w)
+    # fftshift + polar bilinear gather fused into one precomputed 4-tap
+    # table (ops.warp.polar_tap_constants); DC suppression stays a cheap
+    # elementwise pass — measured faster than both the literal chain and
+    # the 8-tap fully folded table (scripts/polarbench.py).
+    pol = polar_resample(
+        remove_zero_component(power), ops.polar_idx, ops.polar_w
+    )
     return f, rfft2(pol)
 
 

@@ -74,11 +74,6 @@ class DistributedSlamEngine:
                 f"edge_capacity {self.config.map.edge_capacity} not "
                 f"divisible by {n} '{self.axis}' shards"
             )
-        if self.config.lookahead > 1:
-            raise ValueError(
-                "distributed engine runs per-frame (lookahead=1); block mode "
-                "is a single-chip throughput feature"
-            )
 
     # -- plug points ------------------------------------------------------
 
@@ -166,6 +161,49 @@ class DistributedSlamEngine:
         return lambda state, images: run(state, images, self.cf_ops, self.camera)
 
     @functools.cached_property
+    def run_chunk_masked(self):
+        """Masked-chunk variant (tail padding — see
+        ``core.slam.chunked_deferred_drive``)."""
+        from nislam_tpu.core.slam import StepOutput
+
+        config = self.config
+        search = self._loop_search_fn
+
+        @functools.partial(jax.jit, donate_argnums=0)
+        def run(state, images, valid, cf_ops, camera):
+            def body(st, xs):
+                img, v = xs
+
+                def live(st):
+                    return slam_step(
+                        st, img, config=config, cf_ops=cf_ops, camera=camera,
+                        defer_optimize=True, loop_search_fn=search,
+                    )
+
+                def dead(st):
+                    out = StepOutput(
+                        tracked=jnp.asarray(False),
+                        inserted=jnp.asarray(False),
+                        loop_found=jnp.asarray(False),
+                        optimized=jnp.asarray(False),
+                        response=jnp.zeros(3, jnp.float32),
+                        cf_pose=jnp.zeros(3, jnp.float32),
+                        pose=jnp.zeros(3, jnp.float32),
+                        frame_id=jnp.asarray(-1, jnp.int32),
+                        keyframe_slot=jnp.asarray(-1, jnp.int32),
+                        loop_slot=jnp.asarray(-1, jnp.int32),
+                    )
+                    return st, out
+
+                return jax.lax.cond(v, live, dead, st)
+
+            return jax.lax.scan(body, state, (images, valid))
+
+        return lambda state, images, valid: run(
+            state, images, valid, self.cf_ops, self.camera
+        )
+
+    @functools.cached_property
     def optimize(self):
         config = self.config
         solver = self._solver_fn
@@ -194,26 +232,16 @@ class DistributedSlamEngine:
     def run_sequence(
         self, state, images, *, numpy_outputs: bool = True, chunk_frames: int = 64
     ):
-        """Chunked deferred-optimize driver (same contract as
-        ``SlamEngine.run_sequence`` at lookahead=1)."""
-        import numpy as np
+        """Chunked deferred-optimize driver — the SAME shared driver as
+        ``SlamEngine.run_sequence``, so optimize timing (and therefore the
+        trajectory) is identical between the single-chip and distributed
+        engines by construction."""
+        from nislam_tpu.core.slam import chunked_deferred_drive
 
-        images = jnp.asarray(images)
-        n = images.shape[0]
-        c = min(chunk_frames, n)
-        outs_list = []
-        for i in range(n // c):
-            state, o = self.run_chunk(state, images[i * c:(i + 1) * c])
-            outs_list.append(o)
-            state, _ = self.optimize(state)
-        for j in range((n // c) * c, n):
-            state, o = self.step(state, images[j])
-            outs_list.append(jax.tree.map(lambda x: x[None], o))
-            state, _ = self.optimize(state)
-        outs = jax.tree.map(lambda *xs: jnp.concatenate(xs), *outs_list)
-        if numpy_outputs:
-            outs = jax.tree.map(np.asarray, outs)
-        return state, outs
+        return chunked_deferred_drive(
+            self, state, images,
+            chunk_frames=chunk_frames, numpy_outputs=numpy_outputs,
+        )
 
 
 def make_distributed_engine(

