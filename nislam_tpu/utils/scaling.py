@@ -97,7 +97,6 @@ def collective_bytes_loop_search(mesh, config) -> int:
     from nislam_tpu.parallel.loop_search import find_loop_closure_sharded
 
     cf_ops = make_cf_ops(config.cf)
-    bank = make_keyframe_bank(config.cf, config.map)
     h, w = config.cf.height, config.cf.width
 
     def fn(bank, image, polar, fid, dist, prior):
@@ -106,18 +105,24 @@ def collective_bytes_loop_search(mesh, config) -> int:
             config.loop_closure, config.map.grid_scale, mesh,
         )
 
-    lowered = jax.jit(fn).lower(
-        bank,
-        jnp.zeros((h, w), jnp.float32),
-        jnp.zeros(
-            (config.cf.rotation_divisor, config.cf.rotation_channel // 2 + 1),
-            jnp.complex64,
-        ),
-        jnp.zeros((), jnp.int32),
-        jnp.zeros((), jnp.float32),
-        jnp.zeros((3,), jnp.float32),
-    )
-    return collective_bytes_from_hlo(lowered.compile().as_text())
+    # Pin input creation + compilation to the mesh's own (CPU) devices: this
+    # measures the CPU-mesh program and must not touch an accelerator (on
+    # the tunneled TPU host even an eager complex64 zeros can hit a remote
+    # compiler that rejects it).
+    with jax.default_device(list(mesh.devices.flat)[0]):
+        bank = make_keyframe_bank(config.cf, config.map)
+        lowered = jax.jit(fn).lower(
+            bank,
+            jnp.zeros((h, w), jnp.float32),
+            jnp.zeros(
+                (config.cf.rotation_divisor, config.cf.rotation_channel // 2 + 1),
+                jnp.complex64,
+            ),
+            jnp.zeros((), jnp.int32),
+            jnp.zeros((), jnp.float32),
+            jnp.zeros((3,), jnp.float32),
+        )
+        return collective_bytes_from_hlo(lowered.compile().as_text())
 
 
 def collective_bytes_solver(
@@ -132,19 +137,20 @@ def collective_bytes_solver(
     from nislam_tpu.parallel.solver import solve_pose_graph_cg
 
     k, e = keyframe_capacity, edge_capacity
-    prob = PoseGraphProblem(
-        poses=jnp.zeros((k, 3), jnp.float32),
-        pose_mask=jnp.ones((k,), bool),
-        from_slot=jnp.zeros((e,), jnp.int32),
-        to_slot=jnp.zeros((e,), jnp.int32),
-        T=jnp.zeros((e, 3), jnp.float32),
-        sqrt_info=jnp.broadcast_to(jnp.eye(3), (e, 3, 3)),
-        edge_mask=jnp.zeros((e,), bool),
-    )
-    lowered = jax.jit(
-        lambda p: solve_pose_graph_cg(p, mesh)
-    ).lower(prob)
-    return collective_bytes_from_hlo(lowered.compile().as_text())
+    with jax.default_device(list(mesh.devices.flat)[0]):  # CPU-mesh only
+        prob = PoseGraphProblem(
+            poses=jnp.zeros((k, 3), jnp.float32),
+            pose_mask=jnp.ones((k,), bool),
+            from_slot=jnp.zeros((e,), jnp.int32),
+            to_slot=jnp.zeros((e,), jnp.int32),
+            T=jnp.zeros((e, 3), jnp.float32),
+            sqrt_info=jnp.broadcast_to(jnp.eye(3), (e, 3, 3)),
+            edge_mask=jnp.zeros((e,), bool),
+        )
+        lowered = jax.jit(
+            lambda p: solve_pose_graph_cg(p, mesh)
+        ).lower(prob)
+        return collective_bytes_from_hlo(lowered.compile().as_text())
 
 
 def partition_overhead_bound(
@@ -198,7 +204,8 @@ def partition_overhead_bound(
             out.append(time.time() - t0)
         return out
 
-    t1 = times(1)
-    tn = times(ns)
+    with jax.default_device(list(cpus)[0]):  # CPU-mesh only, never the TPU
+        t1 = times(1)
+        tn = times(ns)
     ratios = sorted(min(1.0, a / b) for a, b in zip(sorted(t1), sorted(tn)))
     return round(ratios[0], 3), round(ratios[-1], 3)
