@@ -95,6 +95,7 @@ def main() -> int:
         LoopClosureConfig,
         MapConfig,
         SlamConfig,
+        derive_response_thresholds,
     )
     from nislam_tpu.core.slam import make_engine
     from nislam_tpu.io.trajectory import ate_rmse
@@ -130,13 +131,17 @@ def main() -> int:
 
     fx = float(w)
     px = 1.0 / fx  # metric pixel size (height 1 m)
+    # PSR thresholds derived from the reference's 640×480 anchors by the
+    # measured sqrt-area law (scripts/psrcal.py; VERDICT r2 #4) — not
+    # hand-picked for the synthetic world.
+    thr = derive_response_thresholds(w, h, rd, rc)
     config = SlamConfig(
         cf=CFConfig(width=w, height=h, rotation_divisor=rd, rotation_channel=rc),
         keyframe_selection=KeyframeSelectionConfig(
             max_distance=10.0 * step_px * px,
             max_angle=0.05236,
-            lower_response_thr=4.0,
-            upper_response_thr=6.0,
+            lower_response_thr=thr["lower_response_thr"],
+            upper_response_thr=thr["upper_response_thr"],
         ),
         map=MapConfig(
             grid_scale=0.3 * h * px,
@@ -150,8 +155,8 @@ def main() -> int:
         ),
         loop_closure=LoopClosureConfig(
             to_find_loop=True,
-            position_response_thr=8.0,
-            angle_response_thr=8.0,
+            position_response_thr=thr["position_response_thr"],
+            angle_response_thr=thr["angle_response_thr"],
             frame_gap_thr=30,
             distance_thr=16 * step_px * px,
             max_candidates=8,

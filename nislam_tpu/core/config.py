@@ -200,6 +200,40 @@ class SlamConfig:
     camera: CameraConfig = CameraConfig()
 
 
+def derive_response_thresholds(
+    width: int,
+    height: int,
+    rotation_divisor: int,
+    rotation_channel: int,
+) -> dict:
+    """Derive PSR thresholds for a problem size from the reference's anchors.
+
+    The reference's tuning notes say the response thresholds scale with the
+    problem size ("position_response_thr … should be tuned together with
+    width and height: higher width*height -> higher threshold";
+    "angle_response_thr … tuned together with rotation_divisor and
+    rotation_channel", /root/reference/configs/config_geekplus.yaml:31-32)
+    but give no law.  Measured on the synthetic workload
+    (scripts/psrcal.py): median tracked-frame translation PSR follows
+    (W*H)**0.48 ≈ sqrt(W*H) over 96²–384², so thresholds scale as
+    sqrt(area).  Anchors are the reference's 640×480 / 720×480 values
+    (config_ntu.yaml:19-32): lower/upper tracking 30/90, loop 60/60.
+
+    Returns a dict with ``lower_response_thr``, ``upper_response_thr``
+    (translation PSR, scaled by sqrt(W*H)) and ``position_response_thr``,
+    ``angle_response_thr`` (loop gates: translation PSR scaled by
+    sqrt(W*H); rotation PSR scaled by sqrt(divisor*channel)).
+    """
+    s_img = (width * height) ** 0.5 / (640 * 480) ** 0.5
+    s_rot = (rotation_divisor * rotation_channel) ** 0.5 / (720 * 480) ** 0.5
+    return {
+        "lower_response_thr": round(30.0 * s_img, 2),
+        "upper_response_thr": round(90.0 * s_img, 2),
+        "position_response_thr": round(60.0 * s_img, 2),
+        "angle_response_thr": round(60.0 * s_rot, 2),
+    }
+
+
 def load_camera_config(path: str) -> CameraConfig:
     """Load the camera YAML (schema of /root/reference/src/camera.cc:20-75)."""
     with open(path) as f:

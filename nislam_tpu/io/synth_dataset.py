@@ -93,8 +93,17 @@ extrinsics:
 """
         )
 
-    # Thresholds sized to the image (the reference's tuning comments scale
-    # them with width·height — /root/reference/configs/config_geekplus.yaml).
+    # PSR thresholds derived from the reference's 640×480 anchors
+    # (config_ntu.yaml:19-32) by the measured sqrt-area scaling law
+    # (scripts/psrcal.py) — the quantitative form of the reference's own
+    # tuning note (/root/reference/configs/config_geekplus.yaml:31-32).
+    from nislam_tpu.core.config import derive_response_thresholds
+
+    rotation_divisor = 360
+    rotation_channel = max(96, height // 2)
+    thr = derive_response_thresholds(
+        width, height, rotation_divisor, rotation_channel
+    )
     max_distance = 2.0 * step_px * px_scale
     grid_scale = 0.3 * height * px_scale  # ≤ H/2 px: aliasing-safe (see tests)
     cfg_yaml = os.path.join(out_dir, "config.yaml")
@@ -115,14 +124,14 @@ correlation_flow:
   polynomial:
     offset: 0.1
     power: 3
-  rotation_divisor: 360
-  rotation_channel: {max(96, height // 2)}
+  rotation_divisor: {rotation_divisor}
+  rotation_channel: {rotation_channel}
 
 keyframe_selection:
   max_distance: {max_distance:.6f}
   max_angle: 0.052359877
-  lower_response_thr: 4.0
-  upper_response_thr: 6.0
+  lower_response_thr: {thr['lower_response_thr']}
+  upper_response_thr: {thr['upper_response_thr']}
 
 map:
   grid_scale: {grid_scale:.6f}
@@ -131,8 +140,8 @@ map:
 
 loop_closure:
   to_find_loop: true
-  position_response_thr: 8.0
-  angle_response_thr: 8.0
+  position_response_thr: {thr['position_response_thr']}
+  angle_response_thr: {thr['angle_response_thr']}
   frame_gap_thr: 30
   distance_thr: {8 * max_distance:.6f}
   max_candidates: 8

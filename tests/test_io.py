@@ -274,3 +274,26 @@ def test_shipped_configs_load():
     for c in cfgs.values():
         assert c.cf.lambda_ == 0.1 and c.cf.kernel == 0
         assert c.map_stitcher.stitch_map
+
+
+def test_derived_thresholds_anchor_and_scaling():
+    """derive_response_thresholds reproduces the reference anchors at the
+    reference problem size and follows the measured sqrt-area law
+    (scripts/psrcal.py; reference tuning note config_geekplus.yaml:31-32)."""
+    from nislam_tpu.core.config import derive_response_thresholds
+
+    ref = derive_response_thresholds(640, 480, 720, 480)
+    assert ref == {
+        "lower_response_thr": 30.0,
+        "upper_response_thr": 90.0,
+        "position_response_thr": 60.0,
+        "angle_response_thr": 60.0,
+    }
+    # Quarter the pixels in each dimension -> half the threshold.
+    small = derive_response_thresholds(320, 240, 720, 480)
+    assert abs(small["lower_response_thr"] - 15.0) < 0.01
+    assert abs(small["position_response_thr"] - 30.0) < 0.01
+    # Angle gate scales with the polar grid only.
+    rot = derive_response_thresholds(640, 480, 360, 240)
+    assert abs(rot["angle_response_thr"] - 30.0) < 0.01
+    assert rot["position_response_thr"] == 60.0
