@@ -181,7 +181,8 @@ def estimate_trans(
     Returns ``(trans, psr)`` with ``trans = (-(row - H//2), -(col - W//2))``
     from the argmax of ``g = IFFT(target/(Kzz+λ) · Kxz)`` — parity with
     ``EstimateTrans`` (/root/reference/src/correlation_flow.cc:145-179),
-    including the row-major argmax tie-break (first maximum wins).
+    including the column-major first-maximum argmax tie-break (Eigen
+    ``maxCoeff`` traverses column-major storage; see ops.pallas_kernels).
     Batched over leading axes of ``zf``/``xf``.  Pass the precomputed
     ``filt`` (:func:`keyframe_filter`) to skip the ``Kzz`` solve.
     """

@@ -304,3 +304,63 @@ def test_rotate_spectrum_fusion_matches_unfused(rng):
                 np.testing.assert_allclose(got, want, atol=2e-4)
     finally:
         set_fft_backend(None)
+
+
+@pytest.mark.parametrize("sigma", [0.2, 0.5])
+def test_gaussian_kernel_matches_literal_reference_formula(rng, sigma):
+    """The gaussian kernel spectrum equals the literal reference formula
+    (/root/reference/src/correlation_flow.cc:181-206) including the xx/zz
+    energy terms the TPU build drops algebraically: K_ref =
+    exp(-(xx+zz-2*IFFT(xf conj(zf)))/(N*sigma^2)) / max K_ref must equal
+    exp(e - max e) with e = 2*IFFT(xf conj(zf))/(N*sigma^2)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, kernel=1, sigma=sigma)
+    x = _texture(rng)
+    z = _roll(_texture(rng), 7, -3)
+    xf_np = np.fft.rfft2(x)
+    zf_np = np.fft.rfft2(z)
+    n = H * W
+    # Literal reference formula in numpy (full-spectrum energies; real
+    # signals make |x|^2 sums exact via the spatial domain).
+    xx = float((x ** 2).sum())
+    zz = float((z ** 2).sum())
+    xz = np.fft.irfft2(xf_np * np.conj(zf_np), s=(H, W))
+    k_ref = np.exp(-(xx + zz - 2.0 * xz) / (n * sigma * sigma))
+    k_ref = k_ref / np.abs(k_ref).max()
+
+    from nislam_tpu.ops.registration import _kernel_spectrum
+
+    kf = _kernel_spectrum(
+        rfft2(jnp.asarray(x)), rfft2(jnp.asarray(z)), (H, W), cfg
+    )
+    k_got = np.asarray(irfft2(kf, (H, W)))
+    np.testing.assert_allclose(k_got, k_ref, atol=1e-5)
+
+
+@pytest.mark.parametrize("angle_deg", [0.0, 12.0])
+def test_compute_pose_gaussian_kernel(rng, angle_deg):
+    """Full pose recovery also works under the gaussian kernel (cfg.kernel=1,
+    correlation_flow.cc:157-169 selects it at runtime)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, kernel=1)
+    ops = make_cf_ops(cfg)
+    img = _texture(rng)
+    rot = cv2.warpAffine(
+        img,
+        cv2.getRotationMatrix2D((W / 2.0, H / 2.0), angle_deg, 1.0),
+        (W, H),
+        flags=cv2.INTER_LINEAR,
+        borderMode=cv2.BORDER_WRAP,
+    )
+    moved = _roll(rot, 4, -6)
+    zf, zp = compute_intermedium(jnp.asarray(img), ops)
+    _, xp = compute_intermedium(jnp.asarray(moved), ops)
+    pose, info = compute_pose(
+        zf, jnp.asarray(moved), zp, xp, ops, large_rotation=False
+    )
+    pose = np.asarray(pose)
+    rot_res = 360.0 / cfg.rotation_divisor
+    assert abs(math.degrees(pose[2]) - angle_deg) <= 2 * rot_res + 1e-3
+    assert float(info[0]) > 5.0 and float(info[2]) > 5.0
