@@ -142,6 +142,8 @@ def main() -> int:
             max_angle=0.05236,
             lower_response_thr=thr["lower_response_thr"],
             upper_response_thr=thr["upper_response_thr"],
+            lower_rotation_response_thr=thr["lower_rotation_response_thr"],
+            upper_rotation_response_thr=thr["upper_rotation_response_thr"],
         ),
         map=MapConfig(
             grid_scale=0.3 * h * px,

@@ -48,12 +48,33 @@ class CFConfig:
 
 @dataclasses.dataclass(frozen=True)
 class KeyframeSelectionConfig:
-    """/root/reference/include/read_configs.h:27-32."""
+    """/root/reference/include/read_configs.h:27-32.
+
+    The reference applies one (lower, upper) PSR band to both the
+    translation response and the rotation response
+    (map_builder.cc:48-52) — valid there because every reference config
+    fixes the polar grid at 720×480, the size those thresholds were tuned
+    at.  Rotation PSR scales with the polar grid, not the image
+    (scripts/psrcal.py), so configs with a different grid need a
+    separately scaled rotation band; ``None`` (default) falls back to the
+    translation band (exact reference behavior)."""
 
     max_distance: float = 0.4
     max_angle: float = 0.052359877
     lower_response_thr: float = 30.0
     upper_response_thr: float = 90.0
+    lower_rotation_response_thr: float | None = None
+    upper_rotation_response_thr: float | None = None
+
+    @property
+    def lower_rot(self) -> float:
+        v = self.lower_rotation_response_thr
+        return self.lower_response_thr if v is None else v
+
+    @property
+    def upper_rot(self) -> float:
+        v = self.upper_rotation_response_thr
+        return self.upper_response_thr if v is None else v
 
 
 @dataclasses.dataclass(frozen=True)
@@ -220,15 +241,20 @@ def derive_response_thresholds(
     (config_ntu.yaml:19-32): lower/upper tracking 30/90, loop 60/60.
 
     Returns a dict with ``lower_response_thr``, ``upper_response_thr``
-    (translation PSR, scaled by sqrt(W*H)) and ``position_response_thr``,
-    ``angle_response_thr`` (loop gates: translation PSR scaled by
-    sqrt(W*H); rotation PSR scaled by sqrt(divisor*channel)).
+    (translation PSR, scaled by sqrt(W*H)),
+    ``lower_rotation_response_thr``, ``upper_rotation_response_thr``
+    (the keyframe band applied to the rotation PSR — scaled by
+    sqrt(divisor*channel) since rotation PSR follows the polar grid, not
+    the image) and ``position_response_thr``, ``angle_response_thr``
+    (loop gates, scaled the same two ways).
     """
     s_img = (width * height) ** 0.5 / (640 * 480) ** 0.5
     s_rot = (rotation_divisor * rotation_channel) ** 0.5 / (720 * 480) ** 0.5
     return {
         "lower_response_thr": round(30.0 * s_img, 2),
         "upper_response_thr": round(90.0 * s_img, 2),
+        "lower_rotation_response_thr": round(30.0 * s_rot, 2),
+        "upper_rotation_response_thr": round(90.0 * s_rot, 2),
         "position_response_thr": round(60.0 * s_img, 2),
         "angle_response_thr": round(60.0 * s_rot, 2),
     }
@@ -283,11 +309,15 @@ def load_config(path: str, *, load_camera: bool = True) -> SlamConfig:
     )
 
     kfn = node.get("keyframe_selection", {})
+    _lr = kfn.get("lower_rotation_response_thr")
+    _ur = kfn.get("upper_rotation_response_thr")
     kfs = KeyframeSelectionConfig(
         max_distance=float(kfn.get("max_distance", 0.4)),
         max_angle=float(kfn.get("max_angle", 0.052359877)),
         lower_response_thr=float(kfn.get("lower_response_thr", 30.0)),
         upper_response_thr=float(kfn.get("upper_response_thr", 90.0)),
+        lower_rotation_response_thr=None if _lr is None else float(_lr),
+        upper_rotation_response_thr=None if _ur is None else float(_ur),
     )
 
     mpn = node.get("map", {})

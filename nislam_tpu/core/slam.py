@@ -725,7 +725,7 @@ def slam_step(
         rel_principal = camera.center_to_principal(rel_center)
         good = jnp.logical_and(
             response[0] > kfs.lower_response_thr,
-            response[2] > kfs.lower_response_thr,
+            response[2] > kfs.lower_rot,
         )
         cur_cf_pose = absolute_pose(track.last_cf_pose, rel_principal)
         cur_cf_real = camera.image_plane_to_camera(cur_cf_pose)
@@ -749,8 +749,8 @@ def slam_step(
             response[0] < kfs.upper_response_thr,
         )
         c4 = jnp.logical_and(
-            response[2] > kfs.lower_response_thr,
-            response[2] < kfs.upper_response_thr,
+            response[2] > kfs.lower_rot,
+            response[2] < kfs.upper_rot,
         )
         insert = jnp.logical_and(good, c1 | c2 | c3 | c4)
         new_distance = track.distance + jnp.where(insert, d, 0.0)

@@ -132,6 +132,8 @@ keyframe_selection:
   max_angle: 0.052359877
   lower_response_thr: {thr['lower_response_thr']}
   upper_response_thr: {thr['upper_response_thr']}
+  lower_rotation_response_thr: {thr['lower_rotation_response_thr']}
+  upper_rotation_response_thr: {thr['upper_rotation_response_thr']}
 
 map:
   grid_scale: {grid_scale:.6f}

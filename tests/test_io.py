@@ -286,6 +286,8 @@ def test_derived_thresholds_anchor_and_scaling():
     assert ref == {
         "lower_response_thr": 30.0,
         "upper_response_thr": 90.0,
+        "lower_rotation_response_thr": 30.0,
+        "upper_rotation_response_thr": 90.0,
         "position_response_thr": 60.0,
         "angle_response_thr": 60.0,
     }
@@ -293,7 +295,11 @@ def test_derived_thresholds_anchor_and_scaling():
     small = derive_response_thresholds(320, 240, 720, 480)
     assert abs(small["lower_response_thr"] - 15.0) < 0.01
     assert abs(small["position_response_thr"] - 30.0) < 0.01
-    # Angle gate scales with the polar grid only.
+    # Rotation gates scale with the polar grid only.
+    assert small["angle_response_thr"] == 60.0
     rot = derive_response_thresholds(640, 480, 360, 240)
     assert abs(rot["angle_response_thr"] - 30.0) < 0.01
+    assert abs(rot["lower_rotation_response_thr"] - 15.0) < 0.01
+    assert abs(rot["upper_rotation_response_thr"] - 45.0) < 0.01
     assert rot["position_response_thr"] == 60.0
+    assert rot["lower_response_thr"] == 30.0
