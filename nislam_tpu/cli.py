@@ -216,6 +216,7 @@ def cmd_synth(args: argparse.Namespace) -> int:
         width=args.width,
         seed=args.seed,
         path_kind=args.path,
+        noise=args.noise,
     )
     print(f"wrote synthetic dataset to {args.out}; config: {cfg_path}")
     return 0
@@ -252,7 +253,15 @@ def main(argv=None) -> int:
     synth_p.add_argument("--height", type=int, default=480)
     synth_p.add_argument("--width", type=int, default=640)
     synth_p.add_argument("--seed", type=int, default=42)
-    synth_p.add_argument("--path", choices=["square", "straight"], default="square")
+    synth_p.add_argument(
+        "--path", choices=["square", "loop", "straight"], default="square",
+        help="square: integer-pixel steps (exact recovery); loop: rounded "
+        "square with tangent heading (360 deg of yaw); straight",
+    )
+    synth_p.add_argument(
+        "--noise", action="store_true",
+        help="add sensor noise + illumination drift to the rendered frames",
+    )
     args = parser.parse_args(argv)
     if args.cmd == "run":
         return cmd_run(args)

@@ -17,7 +17,14 @@ from typing import Tuple
 import numpy as np
 
 from nislam_tpu.io.trajectory import write_tum
-from nislam_tpu.utils.synthetic import make_world, render_sequence, square_loop_path, straight_path
+from nislam_tpu.utils.synthetic import (
+    add_sensor_noise,
+    heading_loop_path,
+    make_world,
+    render_sequence,
+    square_loop_path,
+    straight_path,
+)
 
 
 def generate_synthetic_dataset(
@@ -28,9 +35,17 @@ def generate_synthetic_dataset(
     width: int = 640,
     seed: int = 42,
     path_kind: str = "square",
+    noise: bool = False,
     rate_hz: float = 30.0,
 ) -> str:
-    """Write the dataset; returns the path of the generated config YAML."""
+    """Write the dataset; returns the path of the generated config YAML.
+
+    ``path_kind``: ``square`` (axis-aligned, integer-pixel steps — KCC
+    recovery is exact, ATE ≈ 0), ``loop`` (rounded square with the heading
+    tangent to motion: 360° of yaw over the loop, exercising the rotation
+    branch), ``straight``.  ``noise`` adds per-pixel Gaussian noise and
+    slow illumination drift (utils.synthetic.add_sensor_noise).
+    """
     os.makedirs(os.path.join(out_dir, "rgb"), exist_ok=True)
     world_n = 1 << int(np.ceil(np.log2(4 * max(height, width))))
     world = make_world(world_n, sigma=3.0, seed=seed)
@@ -44,10 +59,14 @@ def generate_synthetic_dataset(
     if path_kind == "square":
         side = max(4, (n_frames - 8) // 4)
         poses = square_loop_path(side, step=step_px, start=start, tail=8)[:n_frames]
+    elif path_kind == "loop":
+        poses = heading_loop_path(n_frames, step=step_px, start=start)
     else:
         poses = straight_path(n_frames, step=step_px, start=start)
 
     frames = render_sequence(world, height, width, poses)
+    if noise:
+        frames = add_sensor_noise(frames, seed=seed + 1)
     u8 = np.clip(frames * 255.0, 0, 255).astype(np.uint8)
 
     try:

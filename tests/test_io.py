@@ -220,6 +220,33 @@ def test_cli_end_to_end(tmp_path):
     assert len(t) > 5 and poses.shape[1] == 3
 
 
+def test_cli_end_to_end_rotating_noisy(tmp_path):
+    """The synth generator's rotating (tangent-heading) path with sensor
+    noise tracks end-to-end through the CLI — the non-trivial counterpart
+    of the exact integer-pixel square path."""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ds = str(tmp_path / "dsl")
+    r = subprocess.run(
+        [sys.executable, "-m", "nislam_tpu", "synth", "--out", ds,
+         "--frames", "80", "--height", "96", "--width", "128",
+         "--path", "loop", "--noise"],
+        capture_output=True, text=True, env=env, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr
+    r = subprocess.run(
+        [sys.executable, "-m", "nislam_tpu", "run",
+         "--config", f"{ds}/config.yaml",
+         "--groundtruth", f"{ds}/groundtruth.txt"],
+        capture_output=True, text=True, env=env, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr
+    ate = float(r.stdout.split("ATE RMSE (optimized keyframes):")[1].split("m")[0])
+    # Rotation + noise: interpolation-limited, not exact; still tight.
+    assert 0.0 < ate < 0.08, r.stdout
+
+
 @pytest.mark.slow
 def test_cli_optimizes_mid_run(tmp_path):
     """A loop-closing sequence must trigger pose-graph solves DURING the run
