@@ -104,7 +104,39 @@ def set_fft_backend(backend: str | None) -> None:
 # matmul-DFT constant factories (host-side, cached per axis length)
 # ---------------------------------------------------------------------------
 
-_PREC = jax.lax.Precision.HIGHEST  # full-f32 MXU passes; KCC needs the bits
+_PREC_DEFAULT = jax.lax.Precision.HIGHEST  # full-f32 MXU passes
+_PREC = "unset"  # sentinel; resolved once in _mm_precision
+
+
+def _mm_precision():
+    """Matmul-DFT MXU precision. ``NISLAM_MM_PRECISION``:
+
+    - ``highest`` (default) — full-f32 emulation (6 bf16 MXU passes).
+    - ``high`` — bf16x3 (3 passes, ~2x throughput).  **Measured and
+      rejected as a default** (docs/EVAL_r3.md): at 640×480 both ``high``
+      and raw bf16 operands collapse the correlation PSR below the
+      reference-derived tracking gates (tracked_frac 0.025 resp. 0.002) —
+      the KCC filter solve ``target/(Kzz+λ)`` spans the full f32 dynamic
+      range at that size.  The knob remains for experimentation on easier
+      workloads.
+
+    Resolved once per process (same trace-baking hazard as
+    :func:`fft_backend`); use :func:`set_mm_precision` to change it."""
+    global _PREC
+    if _PREC == "unset":
+        env = os.environ.get("NISLAM_MM_PRECISION", "highest")
+        _PREC = (
+            jax.lax.Precision.HIGH if env == "high" else _PREC_DEFAULT
+        )
+    return _PREC
+
+
+def set_mm_precision(precision) -> None:
+    """Pin the matmul-DFT precision (None = default HIGHEST) and drop
+    cached traces."""
+    global _PREC
+    _PREC = _PREC_DEFAULT if precision is None else precision
+    jax.clear_caches()
 
 
 def _mm_dtype():
@@ -205,7 +237,7 @@ def _mm(a, b):
         return jnp.matmul(
             a.astype(lo), b.astype(lo), preferred_element_type=jnp.float32
         )
-    return jnp.matmul(a, b, precision=_PREC)
+    return jnp.matmul(a, b, precision=_mm_precision())
 
 
 def _emm(spec, m, x):
@@ -215,7 +247,7 @@ def _emm(spec, m, x):
             spec, m.astype(lo), x.astype(lo),
             preferred_element_type=jnp.float32,
         )
-    return jnp.einsum(spec, m, x, precision=_PREC)
+    return jnp.einsum(spec, m, x, precision=_mm_precision())
 
 
 def _rfft2_mm(x: jnp.ndarray) -> jnp.ndarray:
