@@ -635,6 +635,7 @@ def slam_step(
     cf_ops: CFOps,
     camera: CameraOps,
     defer_optimize: bool = False,
+    defer_loop_search: bool = False,
     loop_search_fn=None,
     solver_fn=None,
     features: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray] | None = None,
@@ -648,6 +649,14 @@ def slam_step(
     every frame for every lane; also never discards single matches, unlike
     the reference's clear-on-<2 behavior (map_builder.cc:114-115) — a
     documented deviation of batch mode.
+
+    ``defer_loop_search`` (static) removes the in-step loop search + pending
+    append; the caller runs :func:`deferred_loop_search` afterwards.  Under
+    ``vmap`` the in-step ``lax.cond`` on keyframe insertion executes the
+    full multi-candidate search every frame for every lane (a ~6× per-lane
+    tax measured on CPU and TPU); the batch engine instead hoists one
+    any-lane-inserted ``cond`` to the scan-body level, restoring the
+    keyframe duty factor (~1 in 10 frames) whenever lanes insert sparsely.
 
     ``features`` — precomputed :func:`frontend` output for this frame;
     when given, ``image`` is ignored (may be None).
@@ -837,7 +846,8 @@ def slam_step(
 
         # ``to_find_loop`` is static: with it off the search branch is never
         # even compiled (map_builder.cc:63's ternary, resolved at trace time).
-        if lc_cfg.to_find_loop:
+        # ``defer_loop_search`` moves it to a post-step pass (batch mode).
+        if lc_cfg.to_find_loop and not defer_loop_search:
             lc = jax.lax.cond(stored, do_search, no_search, None)
             loop_found = jnp.logical_and(stored, lc.found)
         else:
@@ -928,3 +938,81 @@ def slam_step(
         return state, out
 
     return jax.lax.cond(state.track.initialized, track_branch, init_branch, state)
+
+
+def deferred_loop_search(
+    state: SlamState,
+    features: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray],
+    out: StepOutput,
+    *,
+    config: SlamConfig,
+    cf_ops: CFOps,
+    camera: CameraOps,
+    loop_search_fn=None,
+) -> Tuple[SlamState, StepOutput]:
+    """The loop search + pending append a ``defer_loop_search=True`` step
+    skipped — bitwise-identical inputs to the in-step cond (the step has
+    already inserted the keyframe and invalidated evicted pendings, exactly
+    the state the inline search sees).  The batch engine vmaps this and
+    guards the whole pass with ONE any-lane-stored ``lax.cond`` at the
+    scan-body level; per-lane sparsity is restored by the inner cond only
+    when that outer cond fires.
+
+    Gate: a keyframe was stored this frame and it was not the
+    initialization frame (``init_branch`` never searches).
+    """
+    img_u, _fft, polar = features
+    lc_cfg = config.loop_closure
+    search = loop_search_fn if loop_search_fn is not None else find_loop_closure
+    stored = jnp.logical_and(out.keyframe_slot >= 0, out.frame_id > 0)
+
+    def do_search(_):
+        return search(
+            state.bank,
+            img_u,
+            polar,
+            out.frame_id,
+            state.track.distance,
+            out.pose,
+            cf_ops,
+            lc_cfg,
+            config.map.grid_scale,
+        )
+
+    def no_search(_):
+        return LoopResult(
+            found=jnp.asarray(False),
+            loop_slot=jnp.asarray(0, jnp.int32),
+            relative_pose=jnp.zeros(3, jnp.float32),
+            response=jnp.zeros(3, jnp.float32),
+        )
+
+    lc = jax.lax.cond(stored, do_search, no_search, None)
+    loop_found = jnp.logical_and(stored, lc.found)
+
+    # Pending append — the verbatim logic of the in-step path.
+    pending = state.pending
+    pslot = jnp.minimum(pending.count, pending.loop_slot.shape[0] - 1)
+    fits = pending.count < pending.loop_slot.shape[0]
+    padd = jnp.logical_and(loop_found, fits)
+    rel_pp = camera.center_to_principal(lc.relative_pose)
+    pending = PendingLoops(
+        loop_slot=jnp.where(
+            padd, pending.loop_slot.at[pslot].set(lc.loop_slot), pending.loop_slot
+        ),
+        cur_slot=jnp.where(
+            padd,
+            pending.cur_slot.at[pslot].set(out.keyframe_slot),
+            pending.cur_slot,
+        ),
+        rel_pose=jnp.where(
+            padd, pending.rel_pose.at[pslot].set(rel_pp), pending.rel_pose
+        ),
+        count=pending.count + padd.astype(jnp.int32),
+    )
+    state = dataclasses.replace(state, pending=pending)
+    out = out._replace(
+        loop_found=loop_found,
+        loop_slot=jnp.where(loop_found, lc.loop_slot, -1),
+    )
+    return state, out

@@ -28,6 +28,8 @@ from nislam_tpu.core.slam import (
     SlamState,
     StepOutput,
     check_and_optimize_final,
+    deferred_loop_search,
+    frontend,
     init_state,
     maybe_optimize,
     slam_step,
@@ -82,15 +84,52 @@ class BatchSlamEngine:
                 cf_ops=cf_ops,
                 camera=camera,
                 defer_optimize=True,
+                defer_loop_search=True,
             )
-            vstep = jax.vmap(step, in_axes=(0, 0))
+            vstep = jax.vmap(
+                lambda st, ft: step(st, None, features=ft), in_axes=(0, 0)
+            )
+            vsearch = jax.vmap(
+                functools.partial(
+                    deferred_loop_search,
+                    config=config,
+                    cf_ops=cf_ops,
+                    camera=camera,
+                )
+            )
+
+            # Frontend hoisted over the whole (B, N) chunk: batched
+            # matmul-DFTs tile the MXU far better than per-frame transforms
+            # inside the scan body (same hoist as SlamEngine.run_chunk).
+            feats = frontend(images, cf_ops=cf_ops, camera=camera)
+            feats_t = jax.tree.map(lambda x: jnp.swapaxes(x, 0, 1), feats)
 
             # scan over time; batch axis stays leading on every carry leaf so
             # the "data" sharding propagates untouched through the scan.
-            def body(st, img_t):
-                return vstep(st, img_t)
+            # The loop search is hoisted out of the vmapped step behind ONE
+            # any-lane-stored cond: a vmapped per-lane cond would execute
+            # the full multi-candidate search every frame for every lane
+            # (~6x per-lane cost, measured), while keyframes arrive ~1 in
+            # 10 frames.
+            def body(st, ft_t):
+                st, out = vstep(st, ft_t)
+                if config.loop_closure.to_find_loop:
+                    any_stored = jnp.any(
+                        jnp.logical_and(out.keyframe_slot >= 0, out.frame_id > 0)
+                    )
 
-            states, outs = jax.lax.scan(body, states, jnp.swapaxes(images, 0, 1))
+                    def do(args):
+                        st, ft, out = args
+                        return vsearch(st, ft, out)
+
+                    def skip(args):
+                        st, _ft, out = args
+                        return st, out
+
+                    st, out = jax.lax.cond(any_stored, do, skip, (st, ft_t, out))
+                return st, out
+
+            states, outs = jax.lax.scan(body, states, feats_t)
             outs = jax.tree.map(lambda x: jnp.swapaxes(x, 0, 1), outs)
             return states, outs
 
