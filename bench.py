@@ -122,7 +122,10 @@ def main() -> int:
         world_n, step_px = 4096, 8.0
         chunk = args.chunk
     else:
-        h, w, rd, rc = 256, 256, 360, 240
+        # Polar channel 64: the reference's own tuning note says it works
+        # (config_geekplus.yaml:10) and the ATE gate agrees — measured
+        # 1951 fps / ATE 0.0125 vs 1738 / 0.0161 at 360×240 (EVAL_r3 §3).
+        h, w, rd, rc = 256, 256, 360, 64
         n_frames = args.frames or 256
         world_n, step_px = 2048, 4.0
         chunk = min(args.chunk, 64)
