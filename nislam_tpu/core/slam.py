@@ -469,10 +469,14 @@ def _optimize_map(
 
 
 def _invalidate_pending(pending: PendingLoops, evicted: jnp.ndarray) -> PendingLoops:
-    """Void accumulated matches that reference an evicted bank slot (-1: no-op).
+    """Drop accumulated matches that reference an evicted bank slot (-1: no-op).
 
-    The entry keeps its position (count bookkeeping stays trivial) but its
-    ``loop_slot`` becomes -1, which the flush treats as disabled.
+    Surviving entries are **compacted** to the front (stable order) and
+    ``count`` decremented — merely voiding in place would let dead entries
+    occupy buffer positions forever: on a long ring-eviction run the buffer
+    could fill with voided entries, permanently blocking both new appends
+    (``fits`` False) and the ≥2-live optimize trigger, silently killing
+    loop closure.  Compaction keeps the buffer's capacity meaningful.
     """
     p = pending.loop_slot.shape[0]
     live = jnp.arange(p) < pending.count
@@ -480,18 +484,25 @@ def _invalidate_pending(pending: PendingLoops, evicted: jnp.ndarray) -> PendingL
         pending.loop_slot == evicted, pending.cur_slot == evicted
     )
     kill = jnp.logical_and(jnp.logical_and(ref, live), evicted >= 0)
-    return dataclasses.replace(
-        pending, loop_slot=jnp.where(kill, -1, pending.loop_slot)
+    keep = jnp.logical_and(live, ~kill)
+    # Stable argsort of ~keep: kept entries first, original order preserved.
+    order = jnp.argsort(~keep)
+    return PendingLoops(
+        loop_slot=pending.loop_slot[order],
+        cur_slot=pending.cur_slot[order],
+        rel_pose=pending.rel_pose[order],
+        count=jnp.sum(keep.astype(jnp.int32)),
     )
 
 
 def _live_pending_count(pending: PendingLoops) -> jnp.ndarray:
     """Number of pending matches still valid (not voided by eviction).
 
-    The ≥2-matches optimize trigger counts LIVE entries: a voided entry
-    (``loop_slot == -1`` after :func:`_invalidate_pending`) keeps its
-    position but must not count toward the reference's 2-match confirmation
-    threshold (map_builder.cc:108) — r2 ADVICE finding #2.
+    The ≥2-matches optimize trigger counts LIVE entries, not raw
+    ``count`` (the reference's 2-match confirmation threshold,
+    map_builder.cc:108 — r2 ADVICE finding #2).  Since
+    :func:`_invalidate_pending` compacts, in-count entries are live by
+    construction; the ``loop_slot >= 0`` term is belt-and-braces.
     """
     p = pending.loop_slot.shape[0]
     live = jnp.logical_and(

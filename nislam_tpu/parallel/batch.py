@@ -68,6 +68,95 @@ class BatchSlamEngine:
             states = jax.device_put(states, self._state_sharding)
         return states
 
+    def _scan_chunk(self, states, images, valid, cf_ops, camera):
+        """Shared scan core of :attr:`run_chunk` / :attr:`run_chunk_masked`.
+
+        ``valid`` is a per-frame (time-axis) mask shared across lanes, or
+        None for an unmasked chunk.
+        """
+        config = self.config
+        step = functools.partial(
+            slam_step,
+            config=config,
+            cf_ops=cf_ops,
+            camera=camera,
+            defer_optimize=True,
+            defer_loop_search=True,
+        )
+        vstep = jax.vmap(
+            lambda st, ft: step(st, None, features=ft), in_axes=(0, 0)
+        )
+        vsearch = jax.vmap(
+            functools.partial(
+                deferred_loop_search,
+                config=config,
+                cf_ops=cf_ops,
+                camera=camera,
+            )
+        )
+
+        # Frontend hoisted over the whole (B, N) chunk: batched
+        # matmul-DFTs tile the MXU far better than per-frame transforms
+        # inside the scan body (same hoist as SlamEngine.run_chunk).
+        feats = frontend(images, cf_ops=cf_ops, camera=camera)
+        feats_t = jax.tree.map(lambda x: jnp.swapaxes(x, 0, 1), feats)
+
+        # scan over time; batch axis stays leading on every carry leaf so
+        # the "data" sharding propagates untouched through the scan.
+        # The loop search is hoisted out of the vmapped step behind ONE
+        # any-lane-stored cond: a vmapped per-lane cond would execute
+        # the full multi-candidate search every frame for every lane
+        # (~6x per-lane cost, measured), while keyframes arrive ~1 in
+        # 10 frames.
+        def live(st, ft_t):
+            st, out = vstep(st, ft_t)
+            if config.loop_closure.to_find_loop:
+                any_stored = jnp.any(
+                    jnp.logical_and(out.keyframe_slot >= 0, out.frame_id > 0)
+                )
+
+                def do(args):
+                    st, ft, out = args
+                    return vsearch(st, ft, out)
+
+                def skip(args):
+                    st, _ft, out = args
+                    return st, out
+
+                st, out = jax.lax.cond(any_stored, do, skip, (st, ft_t, out))
+            return st, out
+
+        if valid is None:
+            body = live
+            xs = feats_t
+        else:
+            batch = self.batch
+
+            def dead(st, _ft_t):
+                out = StepOutput(
+                    tracked=jnp.zeros((batch,), bool),
+                    inserted=jnp.zeros((batch,), bool),
+                    loop_found=jnp.zeros((batch,), bool),
+                    optimized=jnp.zeros((batch,), bool),
+                    response=jnp.zeros((batch, 3), jnp.float32),
+                    cf_pose=jnp.zeros((batch, 3), jnp.float32),
+                    pose=jnp.zeros((batch, 3), jnp.float32),
+                    frame_id=jnp.full((batch,), -1, jnp.int32),
+                    keyframe_slot=jnp.full((batch,), -1, jnp.int32),
+                    loop_slot=jnp.full((batch,), -1, jnp.int32),
+                )
+                return st, out
+
+            def body(st, args):
+                ft_t, v = args
+                return jax.lax.cond(v, live, dead, st, ft_t)
+
+            xs = (feats_t, valid)
+
+        states, outs = jax.lax.scan(body, states, xs)
+        outs = jax.tree.map(lambda x: jnp.swapaxes(x, 0, 1), outs)
+        return states, outs
+
     @functools.cached_property
     def run_chunk(self):
         """(states[B], images[B, N, H, W]) → (states, outputs[B, N]).
@@ -75,63 +164,9 @@ class BatchSlamEngine:
         cf_ops/camera travel as jit arguments (replicated), not closure
         constants — see the note on ``SlamEngine``.
         """
-        config = self.config
 
         def run(states: SlamState, images: jnp.ndarray, cf_ops, camera):
-            step = functools.partial(
-                slam_step,
-                config=config,
-                cf_ops=cf_ops,
-                camera=camera,
-                defer_optimize=True,
-                defer_loop_search=True,
-            )
-            vstep = jax.vmap(
-                lambda st, ft: step(st, None, features=ft), in_axes=(0, 0)
-            )
-            vsearch = jax.vmap(
-                functools.partial(
-                    deferred_loop_search,
-                    config=config,
-                    cf_ops=cf_ops,
-                    camera=camera,
-                )
-            )
-
-            # Frontend hoisted over the whole (B, N) chunk: batched
-            # matmul-DFTs tile the MXU far better than per-frame transforms
-            # inside the scan body (same hoist as SlamEngine.run_chunk).
-            feats = frontend(images, cf_ops=cf_ops, camera=camera)
-            feats_t = jax.tree.map(lambda x: jnp.swapaxes(x, 0, 1), feats)
-
-            # scan over time; batch axis stays leading on every carry leaf so
-            # the "data" sharding propagates untouched through the scan.
-            # The loop search is hoisted out of the vmapped step behind ONE
-            # any-lane-stored cond: a vmapped per-lane cond would execute
-            # the full multi-candidate search every frame for every lane
-            # (~6x per-lane cost, measured), while keyframes arrive ~1 in
-            # 10 frames.
-            def body(st, ft_t):
-                st, out = vstep(st, ft_t)
-                if config.loop_closure.to_find_loop:
-                    any_stored = jnp.any(
-                        jnp.logical_and(out.keyframe_slot >= 0, out.frame_id > 0)
-                    )
-
-                    def do(args):
-                        st, ft, out = args
-                        return vsearch(st, ft, out)
-
-                    def skip(args):
-                        st, _ft, out = args
-                        return st, out
-
-                    st, out = jax.lax.cond(any_stored, do, skip, (st, ft_t, out))
-                return st, out
-
-            states, outs = jax.lax.scan(body, states, feats_t)
-            outs = jax.tree.map(lambda x: jnp.swapaxes(x, 0, 1), outs)
-            return states, outs
+            return self._scan_chunk(states, images, None, cf_ops, camera)
 
         if self.mesh is None:
             jfn = jax.jit(run, donate_argnums=0)
@@ -148,6 +183,32 @@ class BatchSlamEngine:
                 out_shardings=(sh, sh),
             )
         return lambda states, images: jfn(states, images, self._cf_ops, self._camera)
+
+    @functools.cached_property
+    def run_chunk_masked(self):
+        """:attr:`run_chunk` with a per-frame (time-axis) validity mask
+        shared across lanes: lets :meth:`run_sequences` pad a tail chunk
+        into the SAME compiled program instead of tracing a second scan
+        program per distinct remainder length (VERDICT r2 #9b, batch
+        engine)."""
+
+        def run(states, images, valid, cf_ops, camera):
+            return self._scan_chunk(states, images, valid, cf_ops, camera)
+
+        if self.mesh is None:
+            jfn = jax.jit(run, donate_argnums=0)
+        else:
+            sh = self._state_sharding
+            rep = NamedSharding(self.mesh, P())
+            jfn = jax.jit(
+                run,
+                donate_argnums=0,
+                in_shardings=(sh, sh, rep, rep, rep),
+                out_shardings=(sh, sh),
+            )
+        return lambda states, images, valid: jfn(
+            states, images, valid, self._cf_ops, self._camera
+        )
 
     @functools.cached_property
     def optimize(self):
@@ -193,17 +254,27 @@ class BatchSlamEngine:
                 outs = jax.tree.map(np.asarray, outs)
             return states, outs
         c = min(chunk_frames, n)
+        n_chunks = -(-n // c)  # ceil: tail padded into the same program
+        pad = n_chunks * c - n
+        if pad:  # repeat the last frame; masked invalid (VERDICT r2 #9b)
+            images = jnp.concatenate(
+                [images, jnp.repeat(images[:, -1:], pad, axis=1)], axis=1
+            )
+        valid = jnp.arange(n_chunks * c) < n
         outs_list = []
-        for i in range(n // c):
-            states, o = self.run_chunk(states, images[:, i * c:(i + 1) * c])
+        for i in range(n_chunks):
+            sl = slice(i * c, (i + 1) * c)
+            if pad:
+                states, o = self.run_chunk_masked(
+                    states, images[:, sl], valid[sl]
+                )
+            else:
+                states, o = self.run_chunk(states, images[:, sl])
             outs_list.append(o)
             states, _ = self.optimize(states)
-        rem = n - (n // c) * c
-        if rem:
-            states, o = self.run_chunk(states, images[:, n - rem:])
-            outs_list.append(o)
-            states, _ = self.optimize(states)
-        outs = jax.tree.map(lambda *xs: jnp.concatenate(xs, axis=1), *outs_list)
+        outs = jax.tree.map(
+            lambda *xs: jnp.concatenate(xs, axis=1)[:, :n], *outs_list
+        )
         if numpy_outputs:
             outs = jax.tree.map(np.asarray, outs)
         return states, outs

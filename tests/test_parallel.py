@@ -246,13 +246,15 @@ def test_batch_run_sequences_with_loops_matches_single():
 
     beng = make_batch_engine(cfg, batch=2, mesh=mesh)
     states = beng.init_states()
-    states, bouts = beng.run_sequences(states, jnp.asarray(seqs), chunk_frames=16)
+    # chunk 20 does not divide 48: exercises the masked tail-pad path of
+    # both drivers (no second remainder program).
+    states, bouts = beng.run_sequences(states, jnp.asarray(seqs), chunk_frames=20)
     states, _ = beng.finalize(states)
 
     single = make_engine(cfg)
     for b in range(2):
         st = single.init_state()
-        st, souts = single.run_sequence(st, jnp.asarray(seqs[b]), chunk_frames=16)
+        st, souts = single.run_sequence(st, jnp.asarray(seqs[b]), chunk_frames=20)
         st, _ = single.finalize(st)
         np.testing.assert_array_equal(bouts.inserted[b], np.asarray(souts.inserted))
         np.testing.assert_array_equal(bouts.loop_found[b], np.asarray(souts.loop_found))

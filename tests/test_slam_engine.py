@@ -318,3 +318,45 @@ def test_drop_policy_still_available(world):
     assert fids.max() < 40  # map frozen at the first 8 keyframes
     assert int(state.bank.overflow) > 0
     assert outs.tracked.all()  # tracking continues regardless
+
+
+def test_invalidate_pending_compacts():
+    """Eviction-voided pending matches are dropped AND their buffer slots
+    reclaimed (stable compaction + count decrement) — merely voiding in
+    place would let a long ring-eviction run clog the buffer and silently
+    disable loop closure once count hit capacity."""
+    import jax.numpy as jnp
+
+    from nislam_tpu.core.slam import PendingLoops, _invalidate_pending, _live_pending_count
+
+    p = PendingLoops(
+        loop_slot=jnp.asarray([3, 5, 3, 7, 0, 0], jnp.int32),
+        cur_slot=jnp.asarray([10, 11, 12, 13, 0, 0], jnp.int32),
+        rel_pose=jnp.arange(18, dtype=jnp.float32).reshape(6, 3),
+        count=jnp.asarray(4, jnp.int32),
+    )
+    out = _invalidate_pending(p, jnp.asarray(3, jnp.int32))
+    assert int(out.count) == 2
+    # Survivors keep their relative order: entries 1 (5->11) and 3 (7->13).
+    assert out.loop_slot[:2].tolist() == [5, 7]
+    assert out.cur_slot[:2].tolist() == [11, 13]
+    assert out.rel_pose[0].tolist() == [3.0, 4.0, 5.0]
+    assert out.rel_pose[1].tolist() == [9.0, 10.0, 11.0]
+    assert int(_live_pending_count(out)) == 2
+    # cur_slot references are also honored.
+    out2 = _invalidate_pending(p, jnp.asarray(11, jnp.int32))
+    assert int(out2.count) == 3  # entry 1 (cur_slot 11) dropped
+    assert out2.loop_slot[:3].tolist() == [3, 3, 7]
+    out3 = _invalidate_pending(
+        PendingLoops(
+            loop_slot=p.loop_slot, cur_slot=p.cur_slot,
+            rel_pose=p.rel_pose, count=p.count,
+        ),
+        jnp.asarray(10, jnp.int32),
+    )
+    assert int(out3.count) == 3  # entry 0 (cur_slot 10) dropped
+    assert out3.loop_slot[:3].tolist() == [5, 3, 7]
+    # -1 (no eviction) is a no-op.
+    out4 = _invalidate_pending(p, jnp.asarray(-1, jnp.int32))
+    assert int(out4.count) == 4
+    assert out4.loop_slot[:4].tolist() == [3, 5, 3, 7]
