@@ -18,6 +18,7 @@ TPU-native addition designed against the BASELINE scaling configs:
 
 from nislam_tpu.parallel.mesh import make_mesh  # noqa: F401
 from nislam_tpu.parallel.batch import BatchSlamEngine, make_batch_engine  # noqa: F401
+from nislam_tpu.parallel.fleet import FleetSlamEngine, make_fleet_engine  # noqa: F401
 from nislam_tpu.parallel.engine import (  # noqa: F401
     DistributedSlamEngine,
     make_distributed_engine,

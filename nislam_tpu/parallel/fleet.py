@@ -1,0 +1,190 @@
+"""Fleet data parallelism: one SLAM sequence per device over ``shard_map``.
+
+The other data-parallel shape (``parallel.batch``) vmaps lanes in lockstep:
+every data-dependent ``lax.cond`` lowers to both-branches-per-lane, so the
+per-keyframe loop search and filter computation run every frame for every
+lane (measured ~6× per-lane on this machine — docs/PROFILE_r3.md §4; the
+any-lane hoist recovers part of it, but lockstep remains).
+
+``shard_map`` removes the lockstep entirely: each device runs the REAL
+single-lane program — the same scan `SlamEngine.run_chunk` compiles, with
+genuine per-device control flow — on its own sequence shard.  The front end
+has zero cross-device traffic (embarrassing parallelism, SURVEY §2.3), so
+frames/s scales linearly with devices by construction; this is the
+multi-chip deployment shape for BASELINE config 4.
+
+Reference parity: the reference is single-process/single-sequence
+(/root/reference/main.cpp:32-99); this engine is a TPU-native addition.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from nislam_tpu.core.camera import make_camera_ops
+from nislam_tpu.core.config import SlamConfig
+from nislam_tpu.core.slam import (
+    check_and_optimize_final,
+    frontend,
+    init_state,
+    maybe_optimize,
+    slam_step,
+)
+from nislam_tpu.ops.registration import make_cf_ops
+
+
+def _lane_chunk(state, images, cf_ops, camera, config):
+    """The single-lane chunk program (identical to SlamEngine.run_chunk's
+    body): hoisted batched frontend + per-frame scan in deferred mode."""
+    feats = frontend(images, cf_ops=cf_ops, camera=camera)
+
+    def body(st, xs):
+        return slam_step(
+            st, None, config=config, cf_ops=cf_ops, camera=camera,
+            defer_optimize=True, features=xs,
+        )
+
+    return jax.lax.scan(body, state, feats)
+
+
+@dataclasses.dataclass(frozen=True)
+class FleetSlamEngine:
+    """One sequence per device: state pytrees carry a leading (n_devices,)
+    axis sharded over the mesh ``data`` axis; each shard executes the plain
+    single-lane program with real (non-lockstep) control flow."""
+
+    config: SlamConfig
+    mesh: Mesh
+
+    @property
+    def n_lanes(self) -> int:
+        return self.mesh.shape["data"]
+
+    @functools.cached_property
+    def _cf_ops(self):
+        return make_cf_ops(self.config.cf)
+
+    @functools.cached_property
+    def _camera(self):
+        return make_camera_ops(self.config.camera)
+
+    @functools.cached_property
+    def _sharding(self):
+        return NamedSharding(self.mesh, P("data"))
+
+    def init_states(self):
+        one = init_state(self.config, self._cf_ops)
+        n = self.n_lanes
+        states = jax.tree.map(
+            lambda x: jnp.broadcast_to(x[None], (n,) + x.shape), one
+        )
+        return jax.device_put(states, self._sharding)
+
+    def _wrap(self, lane_fn, extra_in_specs=()):
+        """shard_map a per-lane function over the ``data`` axis; each shard
+        holds exactly one lane (leading local axis of size 1).  cf_ops and
+        camera ride as replicated operands, not closure constants (closure
+        capture would embed the device arrays as HLO constants — same rule
+        as the other engines)."""
+        config = self.config
+        # Bind eagerly: accessing the lazy cached_properties inside the jit
+        # trace would run make_cf_ops/make_camera_ops under tracing and
+        # cache tracers on self (UnexpectedTracerError on the next program).
+        cf_ops = self._cf_ops
+        camera = self._camera
+
+        def sharded(states, *args):
+            def body(st, *a):
+                *lane_args, cf_ops, camera = a
+                st1 = jax.tree.map(lambda x: x[0], st)
+                a1 = tuple(
+                    jax.tree.map(lambda y: y[0], x) for x in lane_args
+                )
+                st1, out1 = lane_fn(st1, *a1, cf_ops, camera, config)
+                return (
+                    jax.tree.map(lambda x: x[None], st1),
+                    jax.tree.map(lambda x: jnp.asarray(x)[None], out1),
+                )
+
+            # check_vma=False: the lane body is collective-free (each device
+            # fully independent), so varying-manifest-axes tracking has
+            # nothing to validate — and the full slam_step's many lax.conds
+            # mix constant and data-derived branch outputs, which the vma
+            # checker rejects.
+            return jax.shard_map(
+                body,
+                mesh=self.mesh,
+                in_specs=(P("data"),) + tuple(extra_in_specs) + (P(), P()),
+                out_specs=(P("data"), P("data")),
+                check_vma=False,
+            )(states, *args, cf_ops, camera)
+
+        return jax.jit(sharded, donate_argnums=0)
+
+    @functools.cached_property
+    def run_chunk(self):
+        """(states[n], images[n, N, H, W]) → (states, outputs[n, N])."""
+        return self._wrap(_lane_chunk, extra_in_specs=(P("data"),))
+
+    @functools.cached_property
+    def optimize(self):
+        """Per-lane deferred pose-graph trigger — a REAL cond per device:
+        only lanes with ≥2 live pending matches pay the solve (unlike the
+        vmapped batch engine, where any lane's solve runs for all)."""
+
+        def lane(st, cf_ops, camera, config):
+            return maybe_optimize(st, config=config, camera=camera)
+
+        return self._wrap(lane)
+
+    @functools.cached_property
+    def finalize(self):
+        def lane(st, cf_ops, camera, config):
+            return check_and_optimize_final(st, config=config, camera=camera)
+
+        return self._wrap(lane)
+
+    def run_sequences(self, states, images, *, chunk_frames: int = 64,
+                      numpy_outputs: bool = True):
+        """Chunked driver over (n, N, H, W) with per-lane optimize triggers
+        between chunks."""
+        import numpy as np
+
+        images = jnp.asarray(images)
+        n = images.shape[1]
+        outs_list = []
+        c = min(chunk_frames, n) if n else chunk_frames
+        for i in range(n // c if n else 0):
+            states, o = self.run_chunk(states, images[:, i * c:(i + 1) * c])
+            outs_list.append(o)
+            states, _ = self.optimize(states)
+        rem = n - (n // c) * c if n else 0
+        if rem:  # tail: separate shape (fleet chunks are usually uniform)
+            states, o = self.run_chunk(states, images[:, n - rem:])
+            outs_list.append(o)
+            states, _ = self.optimize(states)
+        if not outs_list:
+            from nislam_tpu.core.slam import empty_step_output
+
+            outs = jax.tree.map(
+                lambda x: jnp.zeros((self.n_lanes,) + x.shape, x.dtype),
+                empty_step_output(),
+            )
+        else:
+            outs = jax.tree.map(
+                lambda *xs: jnp.concatenate(xs, axis=1), *outs_list
+            )
+        if numpy_outputs:
+            outs = jax.tree.map(np.asarray, outs)
+        return states, outs
+
+
+def make_fleet_engine(config: SlamConfig, mesh: Mesh) -> FleetSlamEngine:
+    if "data" not in mesh.shape:
+        raise ValueError("fleet engine needs a mesh with a 'data' axis")
+    return FleetSlamEngine(config=config, mesh=mesh)

@@ -306,3 +306,45 @@ def test_two_process_distributed_solve(tmp_path):
             pytest.skip("jax.distributed unsupported on this build")
         assert rc == 0, f"worker failed:\nstdout:{out}\nstderr:{err}"
         assert "DIST_OK" in out
+
+
+def test_fleet_engine_matches_single():
+    """FleetSlamEngine (one sequence per device over shard_map, real
+    per-device control flow) lane-for-lane equals the single engine —
+    including loop closures and mid-sequence per-lane solves."""
+    from nislam_tpu.parallel.fleet import make_fleet_engine
+    from nislam_tpu.utils.synthetic import heading_loop_path
+
+    mesh = make_mesh({"data": 2}, devices=jax.devices()[:2])
+    cfg = _config(loop_closure=LoopClosureConfig(
+        to_find_loop=True, position_response_thr=8.0, angle_response_thr=8.0,
+        frame_gap_thr=20, distance_thr=0.8, max_candidates=8,
+    ))
+    worlds = [make_world(512, 3.0, seed=s) for s in (1, 2)]
+    seqs = np.stack([
+        render_sequence(w, H, W,
+                        heading_loop_path(48, step=3.5, start=(256.0, 256.0), tail=8))
+        for w in worlds
+    ])
+
+    fleet = make_fleet_engine(cfg, mesh)
+    states = fleet.init_states()
+    states, fouts = fleet.run_sequences(states, jnp.asarray(seqs), chunk_frames=16)
+    states, _ = fleet.finalize(states)
+
+    single = make_engine(cfg)
+    total_loops = 0
+    for b in range(2):
+        st = single.init_state()
+        st, souts = single.run_sequence(st, jnp.asarray(seqs[b]), chunk_frames=16)
+        st, _ = single.finalize(st)
+        np.testing.assert_array_equal(fouts.inserted[b], np.asarray(souts.inserted))
+        np.testing.assert_array_equal(fouts.loop_found[b], np.asarray(souts.loop_found))
+        np.testing.assert_allclose(fouts.pose[b], np.asarray(souts.pose), atol=1e-4)
+        k = int(np.asarray(st.bank.count))
+        np.testing.assert_allclose(
+            np.asarray(states.bank.poses[b][:k]), np.asarray(st.bank.poses[:k]),
+            atol=1e-4,
+        )
+        total_loops += int(np.asarray(souts.loop_found).sum())
+    assert total_loops > 0  # the workload must actually exercise loop closure
