@@ -14,8 +14,13 @@ pod, and what this module reports instead:
   O(nshards) winner records — independent of bank size; the solver psums one
   (K, 3) vector per CG iteration.
 - **Partition-overhead bound**: the 1-device-mesh vs N-device-mesh time
-  ratio for the same total batch, min over repeats, clamped to [0, 1] —
-  reported only as a sanity bound on the overhead XLA's partitioner adds.
+  ratio for the SAME total batch and the SAME (vmapped) program, min over
+  repeats, clamped to [0, 1] — reported only as a sanity bound on the
+  overhead XLA's partitioner adds.  Identical work in both measurements
+  means everything else (including the vmap lockstep tax,
+  docs/PROFILE_r3.md §4) cancels in the ratio; a weak-scaling fleet
+  probe was tried and rejected — on a virtual mesh it measures host-core
+  timesharing, not partitioning.
 """
 
 from __future__ import annotations
@@ -156,7 +161,8 @@ def collective_bytes_solver(
 def partition_overhead_bound(
     cpus: Sequence, ns: int, frames: np.ndarray, repeats: int = 5
 ) -> Tuple[float, float]:
-    """Clamped 1-vs-N-mesh time ratio for the same total data-parallel batch.
+    """Clamped 1-vs-N-mesh time ratio for the same total data-parallel
+    batch running the same vmapped program.
 
     Returns ``(lo, hi)`` over ``repeats`` paired runs, both clamped to
     [0, 1]: a value above 1 is impossible by construction, so host-noise
