@@ -302,6 +302,7 @@ def chunked_deferred_drive(
     *,
     chunk_frames: int = 64,
     numpy_outputs: bool = True,
+    time_axis: int = 0,
 ):
     """Shared deferred-mode sequence driver: chunked scans with the
     separately-jitted optimize trigger between chunks, the tail padded into
@@ -310,12 +311,21 @@ def chunked_deferred_drive(
     every engine that uses this driver).
 
     ``engine`` provides ``run_chunk``, ``run_chunk_masked``, ``optimize``.
+    ``time_axis`` is the frame axis of ``images`` and the outputs: 0 for the
+    single-lane engine, 1 for the lane-leading batch/fleet engines (one
+    driver serves all three — the r2 #9b logic lives exactly once).
+    Callers with a lane axis handle ``n == 0`` themselves (the empty output
+    needs lane-shaped leaves).
     """
     import numpy as np
 
+    def tslice(x, sl):
+        return x[sl] if time_axis == 0 else x[:, sl]
+
     images = jnp.asarray(images)
-    n = images.shape[0]
-    if n == 0:  # empty sequence (ADVICE r2 #4)
+    n = images.shape[time_axis]
+    if n == 0:  # empty sequence (ADVICE r2 #4); single-lane shape only
+        assert time_axis == 0, "lane engines pre-check the empty case"
         outs = empty_step_output()
         if numpy_outputs:
             outs = jax.tree.map(np.asarray, outs)
@@ -324,20 +334,26 @@ def chunked_deferred_drive(
     n_chunks = -(-n // c)  # ceil: tail padded into the same program
     pad = n_chunks * c - n
     if pad:
+        last = tslice(images, slice(n - 1, n))
         images = jnp.concatenate(
-            [images, jnp.repeat(images[-1:], pad, axis=0)], axis=0
+            [images, jnp.repeat(last, pad, axis=time_axis)], axis=time_axis
         )
     valid = jnp.arange(n_chunks * c) < n
     outs_list = []
     for i in range(n_chunks):
         sl = slice(i * c, (i + 1) * c)
         if pad:
-            state, o = engine.run_chunk_masked(state, images[sl], valid[sl])
+            state, o = engine.run_chunk_masked(
+                state, tslice(images, sl), valid[sl]
+            )
         else:
-            state, o = engine.run_chunk(state, images[sl])
+            state, o = engine.run_chunk(state, tslice(images, sl))
         outs_list.append(o)
         state, _ = engine.optimize(state)
-    outs = jax.tree.map(lambda *xs: jnp.concatenate(xs)[:n], *outs_list)
+    outs = jax.tree.map(
+        lambda *xs: tslice(jnp.concatenate(xs, axis=time_axis), slice(0, n)),
+        *outs_list,
+    )
     if numpy_outputs:
         outs = jax.tree.map(np.asarray, outs)
     return state, outs

@@ -72,21 +72,13 @@ def _pallas_peak_stats_2d(g: jnp.ndarray) -> Tuple[jnp.ndarray, ...]:
     # Propagate the input's varying-manifest-axes so the call traces cleanly
     # inside `jax.shard_map(..., check_vma=True)` (the r2 regression: a
     # vma-less ShapeDtypeStruct fails check_vma at trace time even when the
-    # lowered platform would pick the jnp branch).  Guard the whole
-    # typeof/vma surface: older JAX (pyproject floor 0.4.30) has neither
-    # `jax.typeof` nor the `vma` kwarg, and there check_vma doesn't exist
-    # to demand it either.
-    typeof = getattr(jax, "typeof", None)
-    vma = (
-        getattr(typeof(g), "vma", frozenset()) if typeof is not None else frozenset()
-    ) or frozenset()
-    try:
-        out_shape = jax.ShapeDtypeStruct((1, 4), jnp.float32, vma=vma)
-    except TypeError:  # JAX without the vma kwarg
-        out_shape = jax.ShapeDtypeStruct((1, 4), jnp.float32)
+    # lowered platform would pick the jnp branch).  jax.typeof / the vma
+    # kwarg exist on every JAX the package imports on (pyproject floor 0.7,
+    # required by the jax.shard_map surface used throughout parallel/).
+    vma = getattr(jax.typeof(g), "vma", frozenset()) or frozenset()
     out = pl.pallas_call(
         kernel,
-        out_shape=out_shape,
+        out_shape=jax.ShapeDtypeStruct((1, 4), jnp.float32, vma=vma),
         in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
         out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
     )(g)

@@ -253,31 +253,13 @@ class BatchSlamEngine:
             if numpy_outputs:
                 outs = jax.tree.map(np.asarray, outs)
             return states, outs
-        c = min(chunk_frames, n)
-        n_chunks = -(-n // c)  # ceil: tail padded into the same program
-        pad = n_chunks * c - n
-        if pad:  # repeat the last frame; masked invalid (VERDICT r2 #9b)
-            images = jnp.concatenate(
-                [images, jnp.repeat(images[:, -1:], pad, axis=1)], axis=1
-            )
-        valid = jnp.arange(n_chunks * c) < n
-        outs_list = []
-        for i in range(n_chunks):
-            sl = slice(i * c, (i + 1) * c)
-            if pad:
-                states, o = self.run_chunk_masked(
-                    states, images[:, sl], valid[sl]
-                )
-            else:
-                states, o = self.run_chunk(states, images[:, sl])
-            outs_list.append(o)
-            states, _ = self.optimize(states)
-        outs = jax.tree.map(
-            lambda *xs: jnp.concatenate(xs, axis=1)[:, :n], *outs_list
+        from nislam_tpu.core.slam import chunked_deferred_drive
+
+        return chunked_deferred_drive(
+            self, states, images,
+            chunk_frames=chunk_frames, numpy_outputs=numpy_outputs,
+            time_axis=1,
         )
-        if numpy_outputs:
-            outs = jax.tree.map(np.asarray, outs)
-        return states, outs
 
     @functools.cached_property
     def finalize(self):

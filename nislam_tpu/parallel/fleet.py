@@ -40,16 +40,58 @@ from nislam_tpu.ops.registration import make_cf_ops
 
 def _lane_chunk(state, images, cf_ops, camera, config):
     """The single-lane chunk program (identical to SlamEngine.run_chunk's
-    body): hoisted batched frontend + per-frame scan in deferred mode."""
+    body): hoisted batched frontend + per-frame scan.  Honors
+    ``optimizer.inline`` exactly like SlamEngine.run_chunk — per-device
+    control flow makes the in-step solve trigger viable here (unlike under
+    vmap)."""
     feats = frontend(images, cf_ops=cf_ops, camera=camera)
+    defer = not config.optimizer.inline
 
     def body(st, xs):
         return slam_step(
             st, None, config=config, cf_ops=cf_ops, camera=camera,
-            defer_optimize=True, features=xs,
+            defer_optimize=defer, features=xs,
         )
 
     return jax.lax.scan(body, state, feats)
+
+
+def _lane_chunk_masked(state, images, valid, cf_ops, camera, config):
+    """Masked-tail variant (mirrors SlamEngine.run_chunk_masked): invalid
+    frames pass the state through and emit a dummy output, so a padded tail
+    chunk reuses the same compiled program (VERDICT r2 #9b)."""
+    from nislam_tpu.core.slam import StepOutput
+
+    feats = frontend(images, cf_ops=cf_ops, camera=camera)
+    defer = not config.optimizer.inline
+
+    def body(st, xs):
+        f, v = xs
+
+        def live(st):
+            return slam_step(
+                st, None, config=config, cf_ops=cf_ops, camera=camera,
+                defer_optimize=defer, features=f,
+            )
+
+        def dead(st):
+            out = StepOutput(
+                tracked=jnp.asarray(False),
+                inserted=jnp.asarray(False),
+                loop_found=jnp.asarray(False),
+                optimized=jnp.asarray(False),
+                response=jnp.zeros(3, jnp.float32),
+                cf_pose=jnp.zeros(3, jnp.float32),
+                pose=jnp.zeros(3, jnp.float32),
+                frame_id=jnp.asarray(-1, jnp.int32),
+                keyframe_slot=jnp.asarray(-1, jnp.int32),
+                loop_slot=jnp.asarray(-1, jnp.int32),
+            )
+            return st, out
+
+        return jax.lax.cond(v, live, dead, st)
+
+    return jax.lax.scan(body, state, (feats, valid))
 
 
 @dataclasses.dataclass(frozen=True)
@@ -88,24 +130,25 @@ class FleetSlamEngine:
     def _wrap(self, lane_fn, extra_in_specs=()):
         """shard_map a per-lane function over the ``data`` axis; each shard
         holds exactly one lane (leading local axis of size 1).  cf_ops and
-        camera ride as replicated operands, not closure constants (closure
-        capture would embed the device arrays as HLO constants — same rule
-        as the other engines)."""
+        camera enter as jit ARGUMENTS supplied by the call-time lambda and
+        ride the shard_map replicated — never closure constants of the
+        traced function, which would embed the multi-MB spectra/tap tables
+        as HLO constants in every program (same rule as the other engines;
+        the eager binding here also keeps the lazy cached_properties from
+        materializing inside a trace)."""
         config = self.config
-        # Bind eagerly: accessing the lazy cached_properties inside the jit
-        # trace would run make_cf_ops/make_camera_ops under tracing and
-        # cache tracers on self (UnexpectedTracerError on the next program).
         cf_ops = self._cf_ops
         camera = self._camera
 
         def sharded(states, *args):
             def body(st, *a):
-                *lane_args, cf_ops, camera = a
+                *lane_args, cf1, cam1 = a
                 st1 = jax.tree.map(lambda x: x[0], st)
                 a1 = tuple(
-                    jax.tree.map(lambda y: y[0], x) for x in lane_args
+                    x if spec == P() else jax.tree.map(lambda y: y[0], x)
+                    for x, spec in zip(lane_args, extra_in_specs)
                 )
-                st1, out1 = lane_fn(st1, *a1, cf_ops, camera, config)
+                st1, out1 = lane_fn(st1, *a1, cf1, cam1, config)
                 return (
                     jax.tree.map(lambda x: x[None], st1),
                     jax.tree.map(lambda x: jnp.asarray(x)[None], out1),
@@ -122,14 +165,22 @@ class FleetSlamEngine:
                 in_specs=(P("data"),) + tuple(extra_in_specs) + (P(), P()),
                 out_specs=(P("data"), P("data")),
                 check_vma=False,
-            )(states, *args, cf_ops, camera)
+            )(states, *args)
 
-        return jax.jit(sharded, donate_argnums=0)
+        jfn = jax.jit(sharded, donate_argnums=0)
+        return lambda states, *args: jfn(states, *args, cf_ops, camera)
 
     @functools.cached_property
     def run_chunk(self):
         """(states[n], images[n, N, H, W]) → (states, outputs[n, N])."""
         return self._wrap(_lane_chunk, extra_in_specs=(P("data"),))
+
+    @functools.cached_property
+    def run_chunk_masked(self):
+        """:attr:`run_chunk` with a per-frame (time-axis) validity mask
+        shared across lanes — lets the shared chunked driver pad a tail
+        chunk into the same compiled program (VERDICT r2 #9b)."""
+        return self._wrap(_lane_chunk_masked, extra_in_specs=(P("data"), P()))
 
     @functools.cached_property
     def optimize(self):
@@ -152,36 +203,28 @@ class FleetSlamEngine:
     def run_sequences(self, states, images, *, chunk_frames: int = 64,
                       numpy_outputs: bool = True):
         """Chunked driver over (n, N, H, W) with per-lane optimize triggers
-        between chunks."""
+        between chunks — the shared masked-tail driver, lane axis leading."""
         import numpy as np
 
-        images = jnp.asarray(images)
-        n = images.shape[1]
-        outs_list = []
-        c = min(chunk_frames, n) if n else chunk_frames
-        for i in range(n // c if n else 0):
-            states, o = self.run_chunk(states, images[:, i * c:(i + 1) * c])
-            outs_list.append(o)
-            states, _ = self.optimize(states)
-        rem = n - (n // c) * c if n else 0
-        if rem:  # tail: separate shape (fleet chunks are usually uniform)
-            states, o = self.run_chunk(states, images[:, n - rem:])
-            outs_list.append(o)
-            states, _ = self.optimize(states)
-        if not outs_list:
-            from nislam_tpu.core.slam import empty_step_output
+        from nislam_tpu.core.slam import (
+            chunked_deferred_drive,
+            empty_step_output,
+        )
 
+        images = jnp.asarray(images)
+        if images.shape[1] == 0:  # empty sequences (ADVICE r2 #4)
             outs = jax.tree.map(
                 lambda x: jnp.zeros((self.n_lanes,) + x.shape, x.dtype),
                 empty_step_output(),
             )
-        else:
-            outs = jax.tree.map(
-                lambda *xs: jnp.concatenate(xs, axis=1), *outs_list
-            )
-        if numpy_outputs:
-            outs = jax.tree.map(np.asarray, outs)
-        return states, outs
+            if numpy_outputs:
+                outs = jax.tree.map(np.asarray, outs)
+            return states, outs
+        return chunked_deferred_drive(
+            self, states, images,
+            chunk_frames=chunk_frames, numpy_outputs=numpy_outputs,
+            time_axis=1,
+        )
 
 
 def make_fleet_engine(config: SlamConfig, mesh: Mesh) -> FleetSlamEngine:

@@ -329,14 +329,15 @@ def test_fleet_engine_matches_single():
 
     fleet = make_fleet_engine(cfg, mesh)
     states = fleet.init_states()
-    states, fouts = fleet.run_sequences(states, jnp.asarray(seqs), chunk_frames=16)
+    # chunk 20 does not divide 48: exercises the shared masked tail-pad.
+    states, fouts = fleet.run_sequences(states, jnp.asarray(seqs), chunk_frames=20)
     states, _ = fleet.finalize(states)
 
     single = make_engine(cfg)
     total_loops = 0
     for b in range(2):
         st = single.init_state()
-        st, souts = single.run_sequence(st, jnp.asarray(seqs[b]), chunk_frames=16)
+        st, souts = single.run_sequence(st, jnp.asarray(seqs[b]), chunk_frames=20)
         st, _ = single.finalize(st)
         np.testing.assert_array_equal(fouts.inserted[b], np.asarray(souts.inserted))
         np.testing.assert_array_equal(fouts.loop_found[b], np.asarray(souts.loop_found))
