@@ -349,3 +349,52 @@ def test_fleet_engine_matches_single():
         )
         total_loops += int(np.asarray(souts.loop_found).sum())
     assert total_loops > 0  # the workload must actually exercise loop closure
+
+
+def test_fleet_engine_inline_optimizer_matches_single():
+    """Fleet honors optimizer.inline (per-device control flow makes the
+    in-step solve trigger viable, unlike under vmap): trajectories equal
+    the single engine's inline mode, including mid-sequence solves."""
+    import dataclasses
+
+    from nislam_tpu.parallel.fleet import make_fleet_engine
+    from nislam_tpu.utils.synthetic import heading_loop_path
+
+    mesh = make_mesh({"data": 2}, devices=jax.devices()[:2])
+    base = _config(loop_closure=LoopClosureConfig(
+        to_find_loop=True, position_response_thr=8.0, angle_response_thr=8.0,
+        frame_gap_thr=20, distance_thr=0.6, max_candidates=8,
+    ))
+    cfg = dataclasses.replace(
+        base, optimizer=dataclasses.replace(base.optimizer, inline=True)
+    )
+    # The long tail leaves the loop region so a non-loop keyframe follows
+    # the accumulated matches and the in-step CheckAndOptimize fires
+    # (same workload shape as test_loop_closure_and_optimization_inline).
+    from nislam_tpu.utils.synthetic import square_loop_path
+
+    worlds = [make_world(512, 3.0, seed=s) for s in (1, 2)]
+    seqs = np.stack([
+        render_sequence(w, H, W,
+                        square_loop_path(side_steps=18, step=4.5,
+                                         start=(256.0, 256.0), tail=24))
+        for w in worlds
+    ])
+
+    fleet = make_fleet_engine(cfg, mesh)
+    states = fleet.init_states()
+    states, fouts = fleet.run_chunk(states, jnp.asarray(seqs))
+    states, _ = fleet.finalize(states)
+
+    single = make_engine(cfg)
+    solves = 0
+    for b in range(2):
+        st = single.init_state()
+        st, souts = single.run_chunk(st, jnp.asarray(seqs[b]))
+        st, _ = single.finalize(st)
+        np.testing.assert_array_equal(
+            fouts.optimized[b], np.asarray(souts.optimized)
+        )
+        np.testing.assert_allclose(fouts.pose[b], np.asarray(souts.pose), atol=1e-4)
+        solves += int(np.asarray(souts.optimized).sum())
+    assert solves > 0  # inline solves must actually fire mid-sequence
