@@ -833,12 +833,24 @@ def slam_step(
         if _stitch_online(config):
             # InsertFrame per keyframe (map_builder.cc:62); cond so dropped
             # frames never pay the H·W scatter.
-            canvas = jax.lax.cond(
-                stored,
-                lambda cv: insert_frame(cv, img_u, cur_pose, camera),
-                lambda cv: cv,
-                canvas,
-            )
+            def ins(cv):
+                if config.map.store_images and config.map.eviction == "ring":
+                    # Retire the evicted keyframe's pixels: the canvas keeps
+                    # exact running sums, so removal is the negated scatter
+                    # of the OLD bank record (ADVICE r2 #3 — the online
+                    # canvas stays equal to recompute(bank) at all times).
+                    ei = jnp.maximum(evicted, 0)
+                    cv = insert_frame(
+                        cv,
+                        state.bank.images[ei],
+                        state.bank.poses[ei],
+                        camera,
+                        enabled=evicted >= 0,
+                        sign=-1.0,
+                    )
+                return insert_frame(cv, img_u, cur_pose, camera)
+
+            canvas = jax.lax.cond(stored, ins, lambda cv: cv, canvas)
         state = dataclasses.replace(
             state,
             bank=bank,

@@ -90,13 +90,17 @@ def insert_frame(
     camera: CameraOps,
     *,
     enabled: jnp.ndarray | bool = True,
+    sign: float = 1.0,
 ) -> StitchCanvas:
     """Rasterize one frame (f32 intensities in [0, 1]) into the canvas.
 
     ``InsertFrame`` + ``AddImageToOccupancy`` (map_stitcher.cc:14-111) as a
     single scatter-add.  Out-of-canvas points are dropped (the reference's
     infinite hash plane is bounded here; size the canvas to the deployment
-    area).  ``enabled`` masks the write for use under jit.
+    area).  ``enabled`` masks the write for use under jit.  ``sign=-1.0``
+    SUBTRACTS the frame's contribution — the canvas keeps exact running
+    sums, so removal is the negated scatter (used when ring eviction
+    retires a keyframe from an online canvas; ADVICE r2 #3).
     """
     h, w = image.shape[-2], image.shape[-1]
     xi, yi = _frame_targets((h, w), pose_robot, camera)
@@ -107,8 +111,8 @@ def insert_frame(
     ok = jnp.logical_and(jnp.asarray(enabled), inb)
     # Flatten to 1D scatter; clamp dropped indices to 0 with zero weight.
     idx = jnp.where(ok, row * canvas.size + col, 0).reshape(-1)
-    vals = jnp.where(ok, image * 100.0, 0.0).reshape(-1)
-    wts = ok.astype(jnp.float32).reshape(-1)
+    vals = jnp.where(ok, image * (sign * 100.0), 0.0).reshape(-1)
+    wts = sign * ok.astype(jnp.float32).reshape(-1)
     data = canvas.data.reshape(-1).at[idx].add(vals).reshape(canvas.data.shape)
     wsum = canvas.weight.reshape(-1).at[idx].add(wts).reshape(canvas.weight.shape)
     return StitchCanvas(data=data, weight=wsum)

@@ -56,19 +56,28 @@ class FullSlam:
         """The occupancy canvas: the live one when stitching online
         (map_builder.cc:62,113 semantics), else rasterized on demand.
 
-        The online canvas is scatter-add insert-only, so pixels contributed
-        by keyframes later evicted from the ring bank linger until the next
-        solve-triggered recompute (ADVICE r2 #3).  When any eviction has
-        occurred (``bank.overflow > 0`` under ring eviction) the export
-        therefore re-rasterizes from the live bank instead of returning the
-        possibly stale-inclusive live canvas.
+        With ``map.store_images`` the online engine subtracts an evicted
+        keyframe's contribution at eviction time (negated scatter of the
+        old bank record, ADVICE r2 #3), so the live canvas equals
+        ``recompute(bank)`` at all times and is returned directly.  Without
+        stored images the subtraction is impossible — pixels of evicted
+        keyframes linger until the next solve-triggered recompute — so once
+        any eviction has occurred the export re-rasterizes from the live
+        bank instead (which itself requires stored images; store_images=False
+        with ring eviction cannot produce an eviction-exact mosaic).
         """
         if not self.config.map_stitcher.stitch_map:
             raise ValueError("map_stitcher.stitch_map is disabled in config")
-        evicted_any = (
-            self.config.map.eviction == "ring" and int(state.bank.overflow) > 0
+        stale_inclusive = (
+            self.config.map.eviction == "ring"
+            and not self.config.map.store_images
+            and int(state.bank.overflow) > 0
         )
-        if self.config.map_stitcher.online and state.canvas.size and not evicted_any:
+        if (
+            self.config.map_stitcher.online
+            and state.canvas.size
+            and not stale_inclusive
+        ):
             return state.canvas
         return recompute(
             make_canvas(self.config.map_stitcher), state.bank, self._engine.camera

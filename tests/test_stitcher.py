@@ -190,3 +190,82 @@ def test_online_stitching_matches_on_demand():
     np.testing.assert_array_equal(
         np.asarray(state.canvas.weight), np.asarray(ondemand.weight)
     )
+
+
+def test_online_stitching_exact_under_ring_eviction():
+    """With store_images, ring eviction subtracts the evicted keyframe's
+    contribution at eviction time (ADVICE r2 #3): the live online canvas
+    equals recompute(bank) even after the bank overruns capacity."""
+    from nislam_tpu.core.config import (
+        KeyframeSelectionConfig,
+        LoopClosureConfig,
+        SlamConfig,
+    )
+    from nislam_tpu.core.slam import make_engine
+    from nislam_tpu.utils.synthetic import make_world, render_sequence, straight_path
+
+    h, w = 48, 64
+    cfg = SlamConfig(
+        cf=CFConfig(width=w, height=h, rotation_divisor=180, rotation_channel=48),
+        keyframe_selection=KeyframeSelectionConfig(
+            max_distance=0.06, max_angle=0.05,
+            lower_response_thr=4.0, upper_response_thr=6.0,
+        ),
+        # Tiny capacity: a straight path inserts ~1-in-2 keyframes, so 60
+        # frames overrun 8 slots several times over.
+        map=MapConfig(grid_scale=0.15, keyframe_capacity=8, edge_capacity=64,
+                      store_images=True, eviction="ring"),
+        loop_closure=LoopClosureConfig(to_find_loop=False),
+        map_stitcher=MapStitcherConfig(canvas_size=256, online=True),
+        camera=CameraConfig(
+            image_width=w, image_height=h, height=1.0,
+            intrinsics=(100.0, w / 2.0, 100.0, h / 2.0),
+        ),
+    )
+    world = make_world(512, 3.0)
+    frames = render_sequence(
+        world, h, w, straight_path(60, step=3.0, start=(256.0, 256.0))
+    )
+    engine = make_engine(cfg)
+    state = engine.init_state()
+    state, outs = engine.run_sequence(state, jnp.asarray(frames), chunk_frames=20)
+    assert int(state.bank.overflow) > 0  # evictions actually happened
+    ondemand = recompute(
+        StitchCanvas(
+            data=jnp.zeros_like(state.canvas.data),
+            weight=jnp.zeros_like(state.canvas.weight),
+        ),
+        state.bank,
+        engine.camera,
+    )
+    np.testing.assert_allclose(
+        np.asarray(state.canvas.weight), np.asarray(ondemand.weight), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(state.canvas.data), np.asarray(ondemand.data), atol=1e-2
+    )
+
+
+def test_insert_frame_sign_subtract_cancels(rng):
+    """insert then subtract the same frame restores the canvas exactly up
+    to float cancellation."""
+    from nislam_tpu.core.config import CameraConfig
+
+    cam = make_camera_ops(CameraConfig(
+        image_width=16, image_height=12, height=1.0,
+        intrinsics=(100.0, 8.0, 100.0, 6.0),
+    ))
+    canvas = StitchCanvas(
+        data=jnp.asarray(rng.random((64, 64)).astype(np.float32)),
+        weight=jnp.asarray(rng.integers(0, 3, (64, 64)).astype(np.float32)),
+    )
+    img = jnp.asarray(rng.random((12, 16)).astype(np.float32))
+    pose = jnp.asarray([0.05, -0.03, 0.4])
+    added = insert_frame(canvas, img, pose, cam)
+    restored = insert_frame(added, img, pose, cam, sign=-1.0)
+    np.testing.assert_allclose(
+        np.asarray(restored.data), np.asarray(canvas.data), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(restored.weight), np.asarray(canvas.weight), atol=1e-6
+    )
