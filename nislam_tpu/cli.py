@@ -152,6 +152,17 @@ def cmd_run(args: argparse.Namespace) -> int:
             f"WARNING: keyframe bank dropped {bank_ovf} keyframes at capacity "
             f"{state.bank.capacity} (eviction=drop; raise map.keyframe_capacity)"
         )
+    max_elig = int(outs.loop_eligible.max()) if len(outs.loop_eligible) else 0
+    cand_cap = config.loop_closure.max_candidates
+    if max_elig > cand_cap:
+        n_trunc = int((outs.loop_eligible > cand_cap).sum())
+        print(
+            f"WARNING: loop search truncated on {n_trunc} frames — up to "
+            f"{max_elig} eligible candidates vs max_candidates {cand_cap} "
+            f"(the reference evaluates all eligible frames, loop_closure.cc:"
+            f"42-66; prior-proximity priority applied — raise "
+            f"loop_closure.max_candidates for exhaustive parity)"
+        )
 
     # --- trajectory dumps (main.cpp:88-98) -------------------------------
     saving_root = args.saving_root or config.saving.saving_root

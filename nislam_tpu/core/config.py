@@ -44,6 +44,33 @@ class CFConfig:
     # reference's cv::warpAffine, ~20× slower on TPU).  "fft" silently
     # falls back to bilinear for odd image sizes.
     rotate_method: str = "fft"
+    # Exploit the exact π-periodicity of the power-spectrum polar map: the
+    # magnitude spectrum of a real image is centro-symmetric, so rows d and
+    # d + divisor/2 of the reference's polar map are identical up to float
+    # rounding (this is WHY the 180° ambiguity exists,
+    # /root/reference/src/correlation_flow.cc:107-132).  With ``half_polar``
+    # the engine samples only the first divisor/2 rows (angles [0, π)) and
+    # runs the whole rotation registration at half size — halving the polar
+    # gather, the polar FFTs, the rotation-correlation transforms, and the
+    # bank's polar-spectrum HBM — while recovering the identical rotation
+    # mod 180° (measured bit-equal across a ±180° sweep; the mod-180
+    # representative is all the reference ever extracts, since tracking
+    # folds |deg|>90 and loop mode tries both hypotheses).  Angle resolution
+    # is unchanged (still 360/divisor °/bin).  Silently falls back to the
+    # full map for odd divisors.
+    half_polar: bool = True
+
+    @property
+    def half_polar_active(self) -> bool:
+        return self.half_polar and self.rotation_divisor % 2 == 0
+
+    @property
+    def polar_shape(self) -> Tuple[int, int]:
+        """Effective (rows, cols) of the polar representation the engine
+        computes, stores, and correlates — ``(divisor/2, channel)`` under
+        :attr:`half_polar_active`, else ``(divisor, channel)``."""
+        d = self.rotation_divisor
+        return (d // 2 if self.half_polar_active else d, self.rotation_channel)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -102,6 +129,16 @@ class MapConfig:
     # candidates: off → the batched search recomputes Kzz per candidate
     # (+2 transforms each), halving bank memory.
     cache_filters: bool = True
+    # Storage dtype of the bank's four spectral tensors (fft, polar_fft,
+    # filt, filt_polar): "f32" or "bf16".  bf16 halves bank HBM *and* the
+    # candidate-gather bandwidth; values upcast to f32 at the point of use
+    # (ops.fft.r2c), so all COMPUTE stays full-precision — unlike the
+    # rejected bf16 matmul-DFT operands (docs/PROFILE_r3.md §3), this is a
+    # one-time rounding of stored values, and it only touches loop-closure
+    # candidates (tracking reads the f32 TrackState carries, never the
+    # bank).  f16 would overflow: the DC bin of a 640×480 [0,1] image
+    # spectrum is ~1.5e5 > f16 max.
+    bank_dtype: str = "f32"
 
 
 @dataclasses.dataclass(frozen=True)
@@ -306,6 +343,7 @@ def load_config(path: str, *, load_camera: bool = True) -> SlamConfig:
         rotation_divisor=int(cfn.get("rotation_divisor", 720)),
         rotation_channel=int(cfn.get("rotation_channel", 480)),
         rotate_method=str(cfn.get("rotate_method", "fft")),
+        half_polar=bool(cfn.get("half_polar", True)),
     )
 
     kfn = node.get("keyframe_selection", {})
@@ -328,6 +366,7 @@ def load_config(path: str, *, load_camera: bool = True) -> SlamConfig:
         store_images=bool(mpn.get("store_images", True)),
         cache_filters=bool(mpn.get("cache_filters", True)),
         eviction=str(mpn.get("eviction", "ring")),
+        bank_dtype=str(mpn.get("bank_dtype", "f32")),
     )
 
     lcn = node.get("loop_closure", {})

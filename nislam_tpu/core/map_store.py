@@ -115,15 +115,18 @@ class EdgeStore:
 def make_keyframe_bank(cf: CFConfig, map_cfg: MapConfig) -> KeyframeBank:
     k = map_cfg.keyframe_capacity
     h, w = cf.height, cf.width
-    d, c = cf.rotation_divisor, cf.rotation_channel
+    d, c = cf.polar_shape
     img_shape = (k, h, w) if map_cfg.store_images else (k, 0, 0)
     fshape = (k, h, w // 2 + 1, 2) if map_cfg.cache_filters else (k, 0, 0, 2)
     fpshape = (k, d, c // 2 + 1, 2) if map_cfg.cache_filters else (k, 0, 0, 2)
+    if map_cfg.bank_dtype not in ("f32", "bf16"):
+        raise ValueError(f"invalid bank_dtype {map_cfg.bank_dtype!r}")
+    sdt = jnp.bfloat16 if map_cfg.bank_dtype == "bf16" else jnp.float32
     return KeyframeBank(
-        fft=jnp.zeros((k, h, w // 2 + 1, 2), jnp.float32),
-        polar_fft=jnp.zeros((k, d, c // 2 + 1, 2), jnp.float32),
-        filt=jnp.zeros(fshape, jnp.float32),
-        filt_polar=jnp.zeros(fpshape, jnp.float32),
+        fft=jnp.zeros((k, h, w // 2 + 1, 2), sdt),
+        polar_fft=jnp.zeros((k, d, c // 2 + 1, 2), sdt),
+        filt=jnp.zeros(fshape, sdt),
+        filt_polar=jnp.zeros(fpshape, sdt),
         images=jnp.zeros(img_shape, jnp.float32),
         poses=jnp.zeros((k, 3), jnp.float32),
         grid_xy=jnp.zeros((k, 2), jnp.int32),

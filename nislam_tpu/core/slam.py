@@ -30,7 +30,11 @@ import jax.numpy as jnp
 
 from nislam_tpu.core.camera import CameraOps, make_camera_ops
 from nislam_tpu.core.config import SlamConfig
-from nislam_tpu.core.loop_closure import LoopResult, find_loop_closure
+from nislam_tpu.core.loop_closure import (
+    LoopResult,
+    find_loop_closure,
+    no_loop_result,
+)
 from nislam_tpu.core.map_store import (
     EDGE_KCC,
     EDGE_LOOP,
@@ -126,6 +130,9 @@ class StepOutput(NamedTuple):
     frame_id: jnp.ndarray  # () i32
     keyframe_slot: jnp.ndarray  # () i32 — slot if inserted else -1
     loop_slot: jnp.ndarray  # () i32 — matched slot if loop_found else -1
+    # Gating-eligible candidates the loop search saw (0 when no search ran);
+    # values > max_candidates mean the search truncated (CLI warns).
+    loop_eligible: jnp.ndarray  # () i32
 
 
 @dataclasses.dataclass(frozen=True)
@@ -212,19 +219,7 @@ class SlamEngine:
                     )
 
                 def dead(st):
-                    out = StepOutput(
-                        tracked=jnp.asarray(False),
-                        inserted=jnp.asarray(False),
-                        loop_found=jnp.asarray(False),
-                        optimized=jnp.asarray(False),
-                        response=jnp.zeros(3, jnp.float32),
-                        cf_pose=jnp.zeros(3, jnp.float32),
-                        pose=jnp.zeros(3, jnp.float32),
-                        frame_id=jnp.asarray(-1, jnp.int32),
-                        keyframe_slot=jnp.asarray(-1, jnp.int32),
-                        loop_slot=jnp.asarray(-1, jnp.int32),
-                    )
-                    return st, out
+                    return st, dead_step_output()
 
                 return jax.lax.cond(v, live, dead, st)
 
@@ -303,6 +298,7 @@ def chunked_deferred_drive(
     chunk_frames: int = 64,
     numpy_outputs: bool = True,
     time_axis: int = 0,
+    between_chunk_optimize: bool = True,
 ):
     """Shared deferred-mode sequence driver: chunked scans with the
     separately-jitted optimize trigger between chunks, the tail padded into
@@ -316,6 +312,12 @@ def chunked_deferred_drive(
     driver serves all three — the r2 #9b logic lives exactly once).
     Callers with a lane axis handle ``n == 0`` themselves (the empty output
     needs lane-shaped leaves).
+
+    ``between_chunk_optimize=False`` skips the deferred solve trigger after
+    each chunk — for engines whose chunk program already solves INLINE
+    (``optimizer.inline`` fleet lanes), where the extra chunk-boundary
+    trigger would fire on matches the in-step cond intentionally left
+    single-pending (ADVICE r3 #1).
     """
     import numpy as np
 
@@ -349,7 +351,8 @@ def chunked_deferred_drive(
         else:
             state, o = engine.run_chunk(state, tslice(images, sl))
         outs_list.append(o)
-        state, _ = engine.optimize(state)
+        if between_chunk_optimize:
+            state, _ = engine.optimize(state)
     outs = jax.tree.map(
         lambda *xs: tslice(jnp.concatenate(xs, axis=time_axis), slice(0, n)),
         *outs_list,
@@ -359,16 +362,23 @@ def chunked_deferred_drive(
     return state, outs
 
 
-def empty_step_output() -> StepOutput:
-    """A zero-frame ``StepOutput`` (empty-sequence drivers)."""
-    b = jnp.zeros((0,), bool)
-    i = jnp.zeros((0,), jnp.int32)
-    v3 = jnp.zeros((0, 3), jnp.float32)
+def dead_step_output(batch: Tuple[int, ...] = ()) -> StepOutput:
+    """An inert per-frame output — masked/padded frames and empty drivers
+    share ONE constructor so StepOutput schema changes have a single home."""
+    b = jnp.zeros(batch, bool)
+    i = jnp.full(batch, -1, jnp.int32)
+    v3 = jnp.zeros(batch + (3,), jnp.float32)
     return StepOutput(
         tracked=b, inserted=b, loop_found=b, optimized=b,
         response=v3, cf_pose=v3, pose=v3,
         frame_id=i, keyframe_slot=i, loop_slot=i,
+        loop_eligible=jnp.zeros(batch, jnp.int32),
     )
+
+
+def empty_step_output() -> StepOutput:
+    """A zero-frame ``StepOutput`` (empty-sequence drivers)."""
+    return dead_step_output((0,))
 
 
 def make_engine(config: SlamConfig) -> SlamEngine:
@@ -407,11 +417,11 @@ def init_state(config: SlamConfig, cf_ops: CFOps) -> SlamState:
         track=TrackState(
             last_fft=jnp.zeros((cf.height, cf.width // 2 + 1, 2), jnp.float32),
             last_polar=jnp.zeros(
-                (cf.rotation_divisor, cf.rotation_channel // 2 + 1, 2), jnp.float32
+                (cf.polar_shape[0], cf.polar_shape[1] // 2 + 1, 2), jnp.float32
             ),
             last_filt=jnp.zeros((cf.height, cf.width // 2 + 1, 2), jnp.float32),
             last_filt_polar=jnp.zeros(
-                (cf.rotation_divisor, cf.rotation_channel // 2 + 1, 2), jnp.float32
+                (cf.polar_shape[0], cf.polar_shape[1] // 2 + 1, 2), jnp.float32
             ),
             last_cf_pose=jnp.zeros(3, jnp.float32),
             last_cf_real_pose=jnp.zeros(3, jnp.float32),
@@ -746,6 +756,7 @@ def slam_step(
             frame_id=frame_id,
             keyframe_slot=slot,
             loop_slot=jnp.asarray(-1, jnp.int32),
+            loop_eligible=jnp.zeros((), jnp.int32),
         )
         return dataclasses.replace(state, bank=bank, track=track), out
 
@@ -876,12 +887,7 @@ def slam_step(
             )
 
         def no_search(_):
-            return LoopResult(
-                found=jnp.asarray(False),
-                loop_slot=jnp.asarray(0, jnp.int32),
-                relative_pose=jnp.zeros(3, jnp.float32),
-                response=jnp.zeros(3, jnp.float32),
-            )
+            return no_loop_result()
 
         # ``to_find_loop`` is static: with it off the search branch is never
         # even compiled (map_builder.cc:63's ternary, resolved at trace time).
@@ -973,6 +979,7 @@ def slam_step(
             frame_id=frame_id,
             keyframe_slot=jnp.where(stored, slot, -1),
             loop_slot=jnp.where(loop_found, lc.loop_slot, -1),
+            loop_eligible=lc.eligible_count,
         )
         return state, out
 
@@ -1019,12 +1026,7 @@ def deferred_loop_search(
         )
 
     def no_search(_):
-        return LoopResult(
-            found=jnp.asarray(False),
-            loop_slot=jnp.asarray(0, jnp.int32),
-            relative_pose=jnp.zeros(3, jnp.float32),
-            response=jnp.zeros(3, jnp.float32),
-        )
+        return no_loop_result()
 
     lc = jax.lax.cond(stored, do_search, no_search, None)
     loop_found = jnp.logical_and(stored, lc.found)
@@ -1053,5 +1055,6 @@ def deferred_loop_search(
     out = out._replace(
         loop_found=loop_found,
         loop_slot=jnp.where(loop_found, lc.loop_slot, -1),
+        loop_eligible=lc.eligible_count,
     )
     return state, out

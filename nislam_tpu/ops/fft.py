@@ -60,7 +60,13 @@ def c2r(x: jnp.ndarray) -> jnp.ndarray:
 
 
 def r2c(y: jnp.ndarray) -> jnp.ndarray:
-    """Inverse of :func:`c2r`: float32 (..., N, 2) → complex64 (..., N)."""
+    """Inverse of :func:`c2r`: float (..., N, 2) → complex64 (..., N).
+
+    Upcasts reduced-precision storage (``MapConfig.bank_dtype="bf16"``) so
+    every consumer computes in f32 regardless of how the pair was stored.
+    """
+    if y.dtype != jnp.float32:
+        y = y.astype(jnp.float32)
     return jax.lax.complex(y[..., 0], y[..., 1])
 
 
@@ -82,8 +88,12 @@ def fft_backend() -> str:
         env = os.environ.get("NISLAM_FFT", "auto")
         if env in ("mm", "xla"):
             _BACKEND = env
-        else:
+        elif env == "auto":
             _BACKEND = "xla" if jax.default_backend() == "cpu" else "mm"
+        else:
+            raise ValueError(
+                f"NISLAM_FFT={env!r} — expected 'mm', 'xla', or 'auto'"
+            )
     return _BACKEND
 
 
@@ -125,9 +135,13 @@ def _mm_precision():
     global _PREC
     if _PREC == "unset":
         env = os.environ.get("NISLAM_MM_PRECISION", "highest")
-        _PREC = (
-            jax.lax.Precision.HIGH if env == "high" else _PREC_DEFAULT
-        )
+        if env not in ("highest", "high"):
+            # Match NISLAM_FFT's unknown-value handling: never let a typo
+            # silently no-op the experimentation knob (ADVICE r3 #2).
+            raise ValueError(
+                f"NISLAM_MM_PRECISION={env!r} — expected 'highest' or 'high'"
+            )
+        _PREC = jax.lax.Precision.HIGH if env == "high" else _PREC_DEFAULT
     return _PREC
 
 
@@ -150,7 +164,10 @@ def _mm_dtype():
     to change it mid-process."""
     global _MM_LO
     if _MM_LO == "unset":
-        _MM_LO = jnp.bfloat16 if os.environ.get("NISLAM_MM_DTYPE") == "bf16" else None
+        env = os.environ.get("NISLAM_MM_DTYPE", "f32")
+        if env not in ("f32", "bf16"):
+            raise ValueError(f"NISLAM_MM_DTYPE={env!r} — expected 'f32' or 'bf16'")
+        _MM_LO = jnp.bfloat16 if env == "bf16" else None
     return _MM_LO
 
 

@@ -70,6 +70,17 @@ class CFOps:
     polar_w: jnp.ndarray  # (D, C, 8) f32 — fused power→polar tap weights
 
 
+# Measured rotation-PSR scale of the half-size polar correlation relative
+# to the full-size one (CFConfig.half_polar): stable 0.76–0.88 across image
+# sizes 120×160–640×480, polar grids 180×96–720×480, and texture families,
+# with ZERO angle-decision mismatches (mean 0.84; /tmp-reproducible via the
+# sweep in tests/test_ops.py::test_half_polar_matches_full).  compute_pose
+# divides the half-grid rotation PSR by this constant so the reported
+# confidence stays calibrated in the reference's full-grid units and every
+# threshold (YAML literals and the derived law alike) applies unchanged.
+HALF_POLAR_PSR_SCALE = 0.84
+
+
 def make_cf_ops(cfg: CFConfig) -> CFOps:
     # Spectra are stored as float pairs (ops.fft.c2r): CFOps crosses jit
     # boundaries as an argument, and persistent/boundary complex arrays are
@@ -80,12 +91,15 @@ def make_cf_ops(cfg: CFConfig) -> CFOps:
         cfg.height, cfg.width, cfg.rotation_divisor, cfg.rotation_channel,
         fold_dc=False,
     )
+    pd, pc = cfg.polar_shape
+    # half_polar: keep only the rows covering angles [0, π) of the SAME
+    # grid — the remaining rows are the centro-symmetric mirror (see
+    # CFConfig.half_polar).
+    pidx, pw = pidx[:pd], pw[:pd]
     return CFOps(
         cfg=cfg,
         target_fft=jnp.asarray(impulse_spectrum_pair(cfg.height, cfg.width)),
-        target_rot_fft=jnp.asarray(
-            impulse_spectrum_pair(cfg.rotation_divisor, cfg.rotation_channel)
-        ),
+        target_rot_fft=jnp.asarray(impulse_spectrum_pair(pd, pc)),
         polar_idx=jnp.asarray(pidx),
         polar_w=jnp.asarray(pw),
     )
@@ -240,10 +254,7 @@ def compute_keyframe_filters(
         fft, r2c(ops.target_fft), (cfg.height, cfg.width), cfg
     )
     fp = keyframe_filter(
-        polar_fft,
-        r2c(ops.target_rot_fft),
-        (cfg.rotation_divisor, cfg.rotation_channel),
-        cfg,
+        polar_fft, r2c(ops.target_rot_fft), cfg.polar_shape, cfg
     )
     return fi, fp
 
@@ -275,7 +286,7 @@ def compute_pose(
     modes trace to different XLA programs (one vs. two batched transforms).
     """
     cfg = ops.cfg
-    pshape = (cfg.rotation_divisor, cfg.rotation_channel)
+    pshape = cfg.polar_shape
     ishape = (cfg.height, cfg.width)
     filt_img, filt_polar = filters if filters is not None else (None, None)
 
@@ -283,7 +294,15 @@ def compute_pose(
         last_polar_fft, cur_polar_fft, r2c(ops.target_rot_fft), pshape, cfg,
         filt=filt_polar,
     )
+    # One polar row = 360/divisor degrees of rotation in BOTH modes: under
+    # half_polar the row shift lands in (−divisor/4, divisor/4] so the
+    # degree lands directly in the mod-180 representative range (−90, 90]
+    # — exactly what tracking folds to and what loop mode disambiguates.
     degree = normalize_degree(rots[..., 0] * (2.0 / cfg.rotation_divisor) * 180.0)
+    if cfg.half_polar_active:
+        # Report the rotation confidence in full-grid units (see
+        # HALF_POLAR_PSR_SCALE) so reference-tuned thresholds apply.
+        info_rot = info_rot / HALF_POLAR_PSR_SCALE
 
     rotate_spec = _rotate_spectrum_fn(cfg)
     if not large_rotation:

@@ -28,6 +28,7 @@ from nislam_tpu.core.slam import (
     SlamState,
     StepOutput,
     check_and_optimize_final,
+    dead_step_output,
     deferred_loop_search,
     frontend,
     init_state,
@@ -133,19 +134,7 @@ class BatchSlamEngine:
             batch = self.batch
 
             def dead(st, _ft_t):
-                out = StepOutput(
-                    tracked=jnp.zeros((batch,), bool),
-                    inserted=jnp.zeros((batch,), bool),
-                    loop_found=jnp.zeros((batch,), bool),
-                    optimized=jnp.zeros((batch,), bool),
-                    response=jnp.zeros((batch, 3), jnp.float32),
-                    cf_pose=jnp.zeros((batch, 3), jnp.float32),
-                    pose=jnp.zeros((batch, 3), jnp.float32),
-                    frame_id=jnp.full((batch,), -1, jnp.int32),
-                    keyframe_slot=jnp.full((batch,), -1, jnp.int32),
-                    loop_slot=jnp.full((batch,), -1, jnp.int32),
-                )
-                return st, out
+                return st, dead_step_output((batch,))
 
             def body(st, args):
                 ft_t, v = args

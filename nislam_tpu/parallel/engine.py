@@ -93,11 +93,26 @@ class DistributedSlamEngine:
 
     def place(self, state: SlamState) -> SlamState:
         """Shard the O(K·H·W) bank tensors over the mesh axis, replicate the
-        rest (idempotent; use when resuming from a checkpoint)."""
+        rest (idempotent; use when resuming from a checkpoint).
+
+        Works on multi-process (multi-host) meshes too: when the mesh spans
+        processes, leaves become global arrays via
+        ``jax.make_array_from_callback`` — every process must hold the SAME
+        host values (true for ``init_state`` and for checkpoints restored
+        identically everywhere), exactly the multi-controller SPMD contract.
+        """
         shard = NamedSharding(self.mesh, P(self.axis))
         repl = NamedSharding(self.mesh, P())
+        multiprocess = jax.process_count() > 1
 
         def put(leaf, s):
+            if multiprocess:
+                import numpy as np
+
+                x = np.asarray(leaf)
+                return jax.make_array_from_callback(
+                    x.shape, s, lambda idx: x[idx]
+                )
             return jax.device_put(leaf, s)
 
         bank = state.bank
@@ -164,7 +179,7 @@ class DistributedSlamEngine:
     def run_chunk_masked(self):
         """Masked-chunk variant (tail padding — see
         ``core.slam.chunked_deferred_drive``)."""
-        from nislam_tpu.core.slam import StepOutput
+        from nislam_tpu.core.slam import dead_step_output
 
         config = self.config
         search = self._loop_search_fn
@@ -181,19 +196,7 @@ class DistributedSlamEngine:
                     )
 
                 def dead(st):
-                    out = StepOutput(
-                        tracked=jnp.asarray(False),
-                        inserted=jnp.asarray(False),
-                        loop_found=jnp.asarray(False),
-                        optimized=jnp.asarray(False),
-                        response=jnp.zeros(3, jnp.float32),
-                        cf_pose=jnp.zeros(3, jnp.float32),
-                        pose=jnp.zeros(3, jnp.float32),
-                        frame_id=jnp.asarray(-1, jnp.int32),
-                        keyframe_slot=jnp.asarray(-1, jnp.int32),
-                        loop_slot=jnp.asarray(-1, jnp.int32),
-                    )
-                    return st, out
+                    return st, dead_step_output()
 
                 return jax.lax.cond(v, live, dead, st)
 

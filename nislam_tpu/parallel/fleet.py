@@ -60,7 +60,7 @@ def _lane_chunk_masked(state, images, valid, cf_ops, camera, config):
     """Masked-tail variant (mirrors SlamEngine.run_chunk_masked): invalid
     frames pass the state through and emit a dummy output, so a padded tail
     chunk reuses the same compiled program (VERDICT r2 #9b)."""
-    from nislam_tpu.core.slam import StepOutput
+    from nislam_tpu.core.slam import dead_step_output
 
     feats = frontend(images, cf_ops=cf_ops, camera=camera)
     defer = not config.optimizer.inline
@@ -75,19 +75,7 @@ def _lane_chunk_masked(state, images, valid, cf_ops, camera, config):
             )
 
         def dead(st):
-            out = StepOutput(
-                tracked=jnp.asarray(False),
-                inserted=jnp.asarray(False),
-                loop_found=jnp.asarray(False),
-                optimized=jnp.asarray(False),
-                response=jnp.zeros(3, jnp.float32),
-                cf_pose=jnp.zeros(3, jnp.float32),
-                pose=jnp.zeros(3, jnp.float32),
-                frame_id=jnp.asarray(-1, jnp.int32),
-                keyframe_slot=jnp.asarray(-1, jnp.int32),
-                loop_slot=jnp.asarray(-1, jnp.int32),
-            )
-            return st, out
+            return st, dead_step_output()
 
         return jax.lax.cond(v, live, dead, st)
 
@@ -212,6 +200,11 @@ class FleetSlamEngine:
         )
 
         images = jnp.asarray(images)
+        if images.shape[0] != self.n_lanes:
+            raise ValueError(
+                f"images lane axis {images.shape[0]} != n_lanes "
+                f"{self.n_lanes} (one sequence per mesh 'data' device)"
+            )
         if images.shape[1] == 0:  # empty sequences (ADVICE r2 #4)
             outs = jax.tree.map(
                 lambda x: jnp.zeros((self.n_lanes,) + x.shape, x.dtype),
@@ -224,6 +217,11 @@ class FleetSlamEngine:
             self, states, images,
             chunk_frames=chunk_frames, numpy_outputs=numpy_outputs,
             time_axis=1,
+            # Inline lanes already solve in-step with the reference's exact
+            # trigger; the chunk-boundary trigger is deferred-mode-only
+            # (ADVICE r3 #1 — keeps fleet inline runs lane-for-lane equal
+            # to SlamEngine.run_sequence's single unchunked inline run).
+            between_chunk_optimize=not self.config.optimizer.inline,
         )
 
 

@@ -99,6 +99,7 @@ def find_loop_closure_sharded(
             pose[best][None],
             info[best][None],
             jnp.any(picked)[None],
+            jnp.sum(eligible.astype(jnp.int32))[None],
         )
 
     shmap = jax.shard_map(
@@ -108,9 +109,9 @@ def find_loop_closure_sharded(
             P(axis), P(axis), P(axis), P(axis), P(axis), P(axis), P(axis), P(),
             P(), P(), P(), P(), P(),
         ),
-        out_specs=(P(axis), P(axis), P(axis), P(axis), P(axis)),
+        out_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(axis)),
     )
-    scores, slots, poses_g, infos, anys = shmap(
+    scores, slots, poses_g, infos, anys, counts = shmap(
         bank.fft,
         bank.polar_fft,
         bank.filt,
@@ -140,4 +141,5 @@ def find_loop_closure_sharded(
         loop_slot=slots[w],
         relative_pose=poses_g[w],
         response=jnp.where(any_any, best_info, -jnp.inf),
+        eligible_count=jnp.sum(counts),
     )

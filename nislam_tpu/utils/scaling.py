@@ -120,7 +120,7 @@ def collective_bytes_loop_search(mesh, config) -> int:
             bank,
             jnp.zeros((h, w), jnp.float32),
             jnp.zeros(
-                (config.cf.rotation_divisor, config.cf.rotation_channel // 2 + 1),
+                (config.cf.polar_shape[0], config.cf.polar_shape[1] // 2 + 1),
                 jnp.complex64,
             ),
             jnp.zeros((), jnp.int32),

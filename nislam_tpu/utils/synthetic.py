@@ -19,21 +19,61 @@ import numpy as np
 # (one RPC round-trip per primitive), so no jax imports here.
 
 
-def make_world(n: int = 1024, sigma: float = 3.0, seed: int = 42) -> np.ndarray:
-    """Smooth periodic random texture in [0, 1] — correlates like real
-    ground texture (high-frequency but spatially coherent)."""
+def make_world(
+    n: int = 1024,
+    sigma: float = 3.0,
+    seed: int = 42,
+    family: str = "gaussian",
+) -> np.ndarray:
+    """Periodic random ground texture in [0, 1].
+
+    ``family`` selects the texture statistics (VERDICT r3 #7 — the
+    calibration evidence must hold beyond one texture family):
+
+    - ``gaussian`` — Gaussian-blurred white noise (the r1–r3 world):
+      smooth, spatially coherent, spectrum ~ Gaussian rolloff at 1/σ.
+    - ``powerlaw`` — isotropic 1/f^σ spectral-slope noise (σ reused as the
+      slope α): scale-free structure like asphalt/concrete aggregate.
+      α ≲ 1.2 leaves strong high-frequency energy (rotation recovery is
+      exact); α ≳ 1.5 is so smooth at window scale that the power
+      spectrum loses angular structure and KCC rotation collapses — a
+      measured property of the algorithm (the reference's math behaves
+      identically), documented in docs/TEXTURES_r4.md.
+    - ``blobs`` — soft-thresholded blurred noise: sparse high-contrast
+      patches with near-flat interiors, like terrazzo/painted floor
+      markings; energy concentrated at edges.
+    - ``fibrous`` — anisotropically blurred noise (σ along x, σ/6 along
+      y): directional grain like wood planks or brushed screed; breaks the
+      isotropy the polar transform nominally assumes.
+    """
     rng = np.random.default_rng(seed)
     w = rng.standard_normal((n, n)).astype(np.float32)
-    # Separable periodic Gaussian blur (no scipy dependency).
-    r = int(3 * sigma)
-    k = np.exp(-0.5 * (np.arange(-r, r + 1) / sigma) ** 2).astype(np.float32)
-    k /= k.sum()
     f = np.fft.rfft2(w)
-    kx = np.fft.rfft(np.roll(np.pad(k, (0, n - k.size)), -r))
-    ky = np.fft.fft(np.roll(np.pad(k, (0, n - k.size)), -r))
-    w = np.fft.irfft2(f * ky[:, None] * kx[None, :], s=(n, n)).astype(np.float32)
+    if family == "powerlaw":
+        ky = np.fft.fftfreq(n)[:, None]
+        kx = np.fft.rfftfreq(n)[None, :]
+        kk = np.sqrt(ky * ky + kx * kx)
+        kk[0, 0] = kk[0, 1]
+        w = np.fft.irfft2(f * (kk ** -sigma), s=(n, n)).astype(np.float32)
+    elif family in ("gaussian", "blobs", "fibrous"):
+        sx = sigma
+        sy = sigma / 6.0 if family == "fibrous" else sigma
+        if family == "blobs":
+            sx = sy = 2.5 * sigma  # larger patches before thresholding
+        def blur_kernel(s):
+            r = max(1, int(3 * s))
+            k = np.exp(-0.5 * (np.arange(-r, r + 1) / s) ** 2).astype(np.float32)
+            k /= k.sum()
+            return np.roll(np.pad(k, (0, n - k.size)), -r)
+        kx = np.fft.rfft(blur_kernel(sx))
+        ky = np.fft.fft(blur_kernel(sy))
+        w = np.fft.irfft2(f * ky[:, None] * kx[None, :], s=(n, n)).astype(np.float32)
+        if family == "blobs":
+            w = np.tanh(w / (np.std(w) + 1e-12) * 3.0).astype(np.float32)
+    else:
+        raise ValueError(f"unknown texture family {family!r}")
     w -= w.min()
-    w /= w.max()
+    w /= w.max() + 1e-12
     return w
 
 

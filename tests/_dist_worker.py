@@ -4,8 +4,14 @@ tests/test_parallel.py::test_two_process_distributed_solve).
 Each process owns 2 virtual CPU devices; the coordinator stitches them into
 one 4-device global mesh spanning a real process boundary — the closest
 single-machine analogue of BASELINE config 5's multi-host (DCN) setup.  The
-worker then runs the edge-sharded GN-CG pose-graph solve over the global
-mesh and checks its cost against the process-local dense LM solve.
+worker runs TWO phases over the global mesh:
+
+1. the edge-sharded GN-CG pose-graph solve, checked against the
+   process-local dense LM solve, and
+2. (VERDICT r3 #4) the full ``DistributedSlamEngine`` SYSTEM — sharded
+   keyframe bank, sharded loop search, chunked driver with mid-run GN-CG
+   triggers — on a short synthetic revisit sequence, checked for decision
+   and trajectory agreement with the process-local single-chip engine.
 
 Usage: python tests/_dist_worker.py <pid> <nproc> <port>
 """
@@ -113,7 +119,94 @@ def main() -> int:
         local_poses[:24], np.asarray(dense_poses[:24]), atol=2e-3
     )
     print(f"DIST_OK pid={pid} cost={cg_cost:.6f} dense={dense_cost:.6f}", flush=True)
+
+    # --- phase 2: the distributed SLAM system across the process boundary
+    slam_system_across_processes(mesh, gshard)
+    print(f"DIST_SYSTEM_OK pid={pid}", flush=True)
     return 0
+
+
+def slam_system_across_processes(mesh, gshard):
+    """Drive DistributedSlamEngine (sharded bank + sharded loop search +
+    GN-CG solves) over the 2-process global mesh on a revisit loop and
+    assert decision + trajectory agreement with the single-process engine."""
+    import dataclasses
+
+    from jax.sharding import PartitionSpec as P
+
+    from nislam_tpu.core.config import (
+        CFConfig,
+        CameraConfig,
+        KeyframeSelectionConfig,
+        LoopClosureConfig,
+        MapConfig,
+        SlamConfig,
+    )
+    from nislam_tpu.core.slam import make_engine
+    from nislam_tpu.parallel.engine import make_distributed_engine
+    from nislam_tpu.utils.synthetic import (
+        make_world,
+        render_sequence,
+        square_loop_path,
+    )
+
+    h, w = 48, 64
+    config = SlamConfig(
+        cf=CFConfig(width=w, height=h, rotation_divisor=72, rotation_channel=24),
+        keyframe_selection=KeyframeSelectionConfig(
+            max_distance=0.08, max_angle=0.05,
+            lower_response_thr=3.0, upper_response_thr=5.0,
+        ),
+        map=MapConfig(grid_scale=0.15, keyframe_capacity=64, edge_capacity=128),
+        loop_closure=LoopClosureConfig(
+            to_find_loop=True, position_response_thr=6.0, angle_response_thr=5.0,
+            frame_gap_thr=10, distance_thr=0.5, max_candidates=8,
+        ),
+        camera=CameraConfig(
+            image_width=w, image_height=h, height=1.0,
+            intrinsics=(100.0, w / 2.0, 100.0, h / 2.0),
+        ),
+    )
+    # identical data in every process (deterministic seed)
+    world = make_world(512, 3.0, seed=5)
+    frames = render_sequence(
+        world, h, w, square_loop_path(8, step=5.0, start=(256.0, 256.0), tail=6)
+    )
+
+    deng = make_distributed_engine(config, mesh)
+    dstate = deng.init_state()
+    assert dstate.bank.fft.sharding.spec[0] == "bank"
+    gframes = gshard(np.asarray(frames), P())  # replicated global array
+    dstate, douts = deng.run_sequence(
+        dstate, gframes, chunk_frames=8, numpy_outputs=False
+    )
+    dstate, _ = deng.finalize(dstate)
+
+    def fetch(x):
+        a = np.asarray(jax.device_get(x.addressable_data(0)))
+        return a
+
+    d_inserted = fetch(douts.inserted)
+    d_loops = fetch(douts.loop_found)
+    d_poses = fetch(dstate.bank.poses)
+    assert d_inserted.shape[0] == len(frames)  # replicated outs, not a shard
+
+    # process-local single-chip reference run on the same frames
+    seng = make_engine(config)
+    with jax.default_device(jax.local_devices()[0]):
+        sstate = seng.init_state()
+        sstate, souts = seng.run_sequence(
+            sstate, jnp.asarray(frames), chunk_frames=8
+        )
+        sstate, _ = seng.finalize(sstate)
+
+    np.testing.assert_array_equal(d_inserted, np.asarray(souts.inserted))
+    np.testing.assert_array_equal(d_loops, np.asarray(souts.loop_found))
+    assert d_loops.sum() >= 1, "revisit sequence must close a loop"
+    n_kf = int(np.asarray(sstate.bank.count))
+    np.testing.assert_allclose(
+        d_poses[:n_kf], np.asarray(sstate.bank.poses)[:n_kf], atol=5e-3
+    )
 
 
 if __name__ == "__main__":

@@ -23,7 +23,7 @@ def _insert(bank, pose, fid, enabled=True, evict=False, protect=None):
     res = add_keyframe(
         bank,
         fft=jnp.ones((24, 17), jnp.complex64) * fid,
-        polar_fft=jnp.ones((36, 9), jnp.complex64),
+        polar_fft=jnp.ones((CF.polar_shape[0], CF.polar_shape[1] // 2 + 1), jnp.complex64),
         image=jnp.ones((24, 32), jnp.float32),
         pose=jnp.asarray(pose, jnp.float32),
         frame_id=jnp.asarray(fid, jnp.int32),
@@ -75,7 +75,7 @@ def test_ring_eviction_spares_base_and_protected():
     res = add_keyframe(
         bank,
         fft=jnp.ones((24, 17), jnp.complex64),
-        polar_fft=jnp.ones((36, 9), jnp.complex64),
+        polar_fft=jnp.ones((CF.polar_shape[0], CF.polar_shape[1] // 2 + 1), jnp.complex64),
         image=jnp.ones((24, 32), jnp.float32),
         pose=jnp.asarray([9.0, 9.0, 0.0]),
         frame_id=jnp.asarray(4, jnp.int32),
@@ -92,7 +92,7 @@ def test_ring_eviction_spares_base_and_protected():
     res2 = add_keyframe(
         res.bank,
         fft=jnp.ones((24, 17), jnp.complex64),
-        polar_fft=jnp.ones((36, 9), jnp.complex64),
+        polar_fft=jnp.ones((CF.polar_shape[0], CF.polar_shape[1] // 2 + 1), jnp.complex64),
         image=jnp.ones((24, 32), jnp.float32),
         pose=jnp.asarray([9.0, 9.0, 0.0]),
         frame_id=jnp.asarray(5, jnp.int32),

@@ -364,3 +364,83 @@ def test_compute_pose_gaussian_kernel(rng, angle_deg):
     rot_res = 360.0 / cfg.rotation_divisor
     assert abs(math.degrees(pose[2]) - angle_deg) <= 2 * rot_res + 1e-3
     assert float(info[0]) > 5.0 and float(info[2]) > 5.0
+
+
+# ---------------------------------------------------------------------------
+# half_polar: π-periodicity shortcut (CFConfig.half_polar)
+# ---------------------------------------------------------------------------
+
+
+def test_half_polar_shapes_and_pi_periodicity(rng):
+    """The half polar map equals the top half of the full map exactly (same
+    tap table rows), and the full map's two halves agree up to the float
+    asymmetry of the power transform — the property that licenses the
+    optimization."""
+    import dataclasses
+
+    from nislam_tpu.ops.fft import irfft2 as _irfft2
+    from nislam_tpu.ops.registration import remove_zero_component
+    from nislam_tpu.ops.warp import polar_resample, polar_tap_constants
+
+    img = _texture(rng)
+    f = rfft2(jnp.asarray(img))
+    power = remove_zero_component(_irfft2(jnp.abs(f), (H, W)))
+    d, c = CFG.rotation_divisor, CFG.rotation_channel
+    idx, wgt = polar_tap_constants(H, W, d, c, fold_dc=False)
+    pol = np.asarray(polar_resample(power, jnp.asarray(idx), jnp.asarray(wgt)))
+    top, bot = pol[: d // 2], pol[d // 2 :]
+    # centro-symmetry of the power transform → π-periodic polar map (border
+    # zero-fill asymmetry at the outermost radii only; bulk is rounding-level)
+    assert np.abs(top - bot).max() <= 0.1 * np.abs(top).max()
+    assert np.abs(top - bot).mean() <= 1e-3 * np.abs(top).max()
+
+    ops_half = make_cf_ops(CFG)  # half_polar defaults True
+    assert CFG.half_polar_active and CFG.polar_shape == (d // 2, c)
+    _, pol_fft_half = compute_intermedium(jnp.asarray(img), ops_half)
+    assert pol_fft_half.shape == (d // 2, c // 2 + 1)
+
+    ops_full = make_cf_ops(dataclasses.replace(CFG, half_polar=False))
+    _, pol_fft_full = compute_intermedium(jnp.asarray(img), ops_full)
+    assert pol_fft_full.shape == (d, c // 2 + 1)
+
+
+@pytest.mark.parametrize("angle_deg", [-150.0, -95.0, -40.0, 0.0, 25.0, 110.0, 178.0])
+def test_half_polar_matches_full(rng, angle_deg):
+    """Half-size rotation registration recovers the same angle as full-size
+    (including loop-mode 180° disambiguation) and its PSR, rescaled by
+    HALF_POLAR_PSR_SCALE, stays within the measured calibration band."""
+    import dataclasses
+
+    from nislam_tpu.ops.registration import HALF_POLAR_PSR_SCALE
+
+    ops_half = make_cf_ops(CFG)
+    ops_full = make_cf_ops(dataclasses.replace(CFG, half_polar=False))
+    base = _texture(rng)
+    cur = cv2.warpAffine(
+        base,
+        cv2.getRotationMatrix2D((W / 2.0, H / 2.0), angle_deg, 1.0),
+        (W, H),
+        flags=cv2.INTER_LINEAR,
+        borderMode=cv2.BORDER_WRAP,
+    )
+    out = {}
+    for name, ops in [("half", ops_half), ("full", ops_full)]:
+        kf_fft, kf_polar = compute_intermedium(jnp.asarray(base), ops)
+        _, cur_polar = compute_intermedium(jnp.asarray(cur), ops)
+        pose, info = compute_pose(
+            kf_fft, jnp.asarray(cur), kf_polar, cur_polar, ops,
+            large_rotation=True,
+        )
+        out[name] = (np.asarray(pose), np.asarray(info))
+    deg_h = math.degrees(out["half"][0][2])
+    deg_f = math.degrees(out["full"][0][2])
+    rot_res = 360.0 / CFG.rotation_divisor
+    # same disambiguated angle to within one bin (not just mod 180)
+    dd = abs(deg_h - deg_f) % 360.0
+    assert min(dd, 360.0 - dd) <= rot_res + 1e-3, (deg_h, deg_f)
+    # translation agreement (same de-rotation hypothesis won)
+    np.testing.assert_allclose(out["half"][0][:2], out["full"][0][:2], atol=2.0)
+    # rescaled rotation PSR calibrated to full-grid units within the
+    # measured band (ratio 0.70-0.95 across configs/textures, mean 0.84)
+    ratio = (out["half"][1][2] * HALF_POLAR_PSR_SCALE) / out["full"][1][2]
+    assert 0.70 <= ratio <= 0.95, ratio

@@ -192,7 +192,8 @@ def test_optimize_map_whitens_non_identity_information():
         for i, p in enumerate(poses):
             bank = add_keyframe(
                 bank,
-                fft=jnp.zeros((24, 17, 2)), polar_fft=jnp.zeros((36, 9, 2)),
+                fft=jnp.zeros((24, 17, 2)),
+                polar_fft=jnp.zeros(cf.polar_shape[0:1] + (cf.polar_shape[1] // 2 + 1, 2)),
                 image=jnp.zeros((0, 0)), pose=jnp.asarray(p, jnp.float32),
                 frame_id=jnp.asarray(i, jnp.int32), distance=jnp.zeros(()),
                 grid_scale=0.1, enabled=jnp.asarray(True),

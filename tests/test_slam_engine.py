@@ -247,10 +247,28 @@ def test_step_matches_scan(world):
 
 def test_tracking_lost_drops_frame(world):
     """Uncorrelated frames must fail the PSR gate and be dropped
-    (map_builder.cc:55-57)."""
+    (map_builder.cc:55-57).  Uses the size-derived thresholds
+    (derive_response_thresholds) rather than _config's deliberately-low
+    band: a garbage frame sits at PSR ~4-5 on this 128×96 problem, and the
+    derived gates (6.0 / 6.7) must reject it on BOTH channels — including
+    the half-polar-calibrated rotation PSR, whose /0.84 rescale inflates
+    the no-match tail ~1.2× (the measured 0.84 ratio is a matched-peak
+    property; unmatched responses come out ≈equal on both grids)."""
+    from nislam_tpu.core.config import derive_response_thresholds
+
     poses = straight_path(3, step=6.0)
     frames = render_sequence(world, H, W, poses)
-    engine = make_engine(_config(to_find_loop=False))
+    cfg = _config(to_find_loop=False)
+    thr = derive_response_thresholds(W, H, 180, 96)
+    cfg = dataclasses.replace(
+        cfg,
+        keyframe_selection=dataclasses.replace(
+            cfg.keyframe_selection,
+            lower_response_thr=thr["lower_response_thr"],
+            lower_rotation_response_thr=thr["lower_rotation_response_thr"],
+        ),
+    )
+    engine = make_engine(cfg)
     state = engine.init_state()
     state, _ = engine.step(state, jnp.asarray(frames[0]))
     rng = np.random.default_rng(7)
@@ -360,3 +378,87 @@ def test_invalidate_pending_compacts():
     out4 = _invalidate_pending(p, jnp.asarray(-1, jnp.int32))
     assert int(out4.count) == 4
     assert out4.loop_slot[:4].tolist() == [3, 5, 3, 7]
+
+
+def test_bank_dtype_bf16_matches_f32(world):
+    """bf16 bank storage (MapConfig.bank_dtype) perturbs only loop-candidate
+    reads: the run must track identically, find the same loops, and land on
+    nearly the same trajectory as the f32 bank."""
+    poses = heading_loop_path(130, step=5.0, turn_steps=8, tail=25)
+    frames = render_sequence(world, H, W, poses)
+    outs_by = {}
+    for dt in ("f32", "bf16"):
+        cfg = _config(distance_thr=1.2)
+        cfg = dataclasses.replace(
+            cfg, map=dataclasses.replace(cfg.map, bank_dtype=dt)
+        )
+        engine = make_engine(cfg)
+        state = engine.init_state()
+        state, outs = engine.run_sequence(state, jnp.asarray(frames), chunk_frames=32)
+        state, _ = engine.finalize(state)
+        assert state.bank.fft.dtype == (
+            jnp.bfloat16 if dt == "bf16" else jnp.float32
+        )
+        outs_by[dt] = (jax.tree.map(np.asarray, outs), np.asarray(state.bank.poses))
+    o32, p32 = outs_by["f32"]
+    o16, p16 = outs_by["bf16"]
+    np.testing.assert_array_equal(o32.tracked, o16.tracked)
+    np.testing.assert_array_equal(o32.inserted, o16.inserted)
+    assert o16.loop_found.sum() >= 1
+    # same loops found (bf16 rounding must not flip PSR-gated acceptances
+    # on this margin-comfortable workload)
+    np.testing.assert_array_equal(o32.loop_found, o16.loop_found)
+    assert np.abs(p32 - p16).max() < 0.02
+
+
+@pytest.mark.parametrize("family", ["powerlaw", "blobs", "fibrous"])
+def test_texture_families_track(family):
+    """The engine (and the derived thresholds) must work beyond the single
+    gaussian texture family the r1-r3 evidence used (VERDICT r3 #7):
+    power-law aggregate, high-contrast blobs, and anisotropic grain must
+    all track with the size-derived PSR gates.
+
+    Paths are matched to what the texture physically supports (measured,
+    half/full-polar identical — docs/TEXTURES_r4.md): powerlaw α=1.0 and
+    fibrous recover rotation exactly, so they run the rotating loop; blobs
+    attenuates per-frame rotation ~25% at this window size (flat patches —
+    the window-anchoring bias of the power-spectrum correlation, same in
+    the reference's math), so it runs the translation-only square loop."""
+    from nislam_tpu.core.config import derive_response_thresholds
+    from nislam_tpu.utils.synthetic import add_sensor_noise
+
+    sigma = 1.0 if family == "powerlaw" else 3.0
+    fam_world = make_world(1024, sigma, seed=11, family=family)
+    if family == "blobs":
+        poses = square_loop_path(side_steps=18, step=5.0, tail=12)
+    else:
+        poses = heading_loop_path(60, step=5.0, turn_steps=8, tail=10)
+    frames = add_sensor_noise(render_sequence(fam_world, H, W, poses))
+    thr = derive_response_thresholds(W, H, 180, 96)
+    cfg = _config(
+        to_find_loop=True,
+        position_response_thr=thr["position_response_thr"],
+        angle_response_thr=thr["angle_response_thr"],
+        distance_thr=1.2,
+    )
+    cfg = dataclasses.replace(
+        cfg,
+        keyframe_selection=dataclasses.replace(
+            cfg.keyframe_selection,
+            lower_response_thr=thr["lower_response_thr"],
+            upper_response_thr=thr["upper_response_thr"],
+            lower_rotation_response_thr=thr["lower_rotation_response_thr"],
+            upper_rotation_response_thr=thr["upper_rotation_response_thr"],
+        ),
+    )
+    engine = make_engine(cfg)
+    state = engine.init_state()
+    state, outs = engine.run_sequence(state, jnp.asarray(frames), chunk_frames=32)
+    state, _ = engine.finalize(state)
+    assert outs.tracked.mean() > 0.9, (family, outs.tracked.mean())
+    assert outs.inserted.sum() >= 4, family
+    gt = _gt_xy(poses)
+    idx = np.where(outs.keyframe_slot >= 0)[0]
+    slots = outs.keyframe_slot[idx]
+    err = np.linalg.norm(np.asarray(state.bank.poses)[slots][:, :2] - gt[idx], axis=1)
+    assert err.mean() < 0.12, (family, err.mean())

@@ -104,7 +104,7 @@ def test_recompute_equals_incremental(rng):
         bank = add_keyframe(
             bank,
             fft=jnp.zeros((H, W // 2 + 1), jnp.complex64),
-            polar_fft=jnp.zeros((36, 9), jnp.complex64),
+            polar_fft=jnp.zeros((cf.polar_shape[0], cf.polar_shape[1] // 2 + 1), jnp.complex64),
             image=jnp.asarray(img),
             pose=jnp.asarray(pose, jnp.float32),
             frame_id=jnp.asarray(k, jnp.int32),
