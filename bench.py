@@ -28,10 +28,14 @@ def main() -> int:
     ap.add_argument("--quick", action="store_true", help="small config (CPU smoke)")
     ap.add_argument(
         "--full", action="store_true",
-        help="640x480 flagship config. NOTE: this machine's remote TPU "
-        "compiler takes >30 min for the full-size program; the default "
-        "256x256 config compiles in bounded time and is the official "
-        "benchmark size for this environment",
+        help="(default since r4) 640x480 / polar 720x480 flagship config — "
+        "the reference's own problem size (config_ntu.yaml). Kept as a "
+        "no-op flag for compatibility",
+    )
+    ap.add_argument(
+        "--small", action="store_true",
+        help="256x256 / polar 360x64 config (r2/r3's official size; kept "
+        "for trend comparison)",
     )
     ap.add_argument("--frames", type=int, default=0)
     ap.add_argument("--chunk", type=int, default=128)
@@ -120,19 +124,21 @@ def main() -> int:
         n_frames = args.frames or 128
         world_n, step_px = 1024, 3.0
         chunk = min(args.chunk, 64)
-    elif args.full:
-        h, w, rd, rc = 480, 640, 720, 480
-        n_frames = args.frames or 512
-        world_n, step_px = 4096, 8.0
-        chunk = args.chunk
-    else:
-        # Polar channel 64: the reference's own tuning note says it works
-        # (config_geekplus.yaml:10) and the ATE gate agrees — measured
-        # 1951 fps / ATE 0.0125 vs 1738 / 0.0161 at 360×240 (EVAL_r3 §3).
+    elif args.small:
+        # r2/r3's official size, kept for the cross-round trend line.
         h, w, rd, rc = 256, 256, 360, 64
         n_frames = args.frames or 256
         world_n, step_px = 2048, 4.0
         chunk = min(args.chunk, 64)
+    else:
+        # OFFICIAL (frozen as of r4, VERDICT r3 #2): the reference's own
+        # flagship problem size — 640×480 image, 720×480 polar grid
+        # (/root/reference/configs/config_ntu.yaml:6-13), full default
+        # memory config (filter cache ON, bf16 bank storage).
+        h, w, rd, rc = 480, 640, 720, 480
+        n_frames = args.frames or 512
+        world_n, step_px = 4096, 8.0
+        chunk = args.chunk
     if args.polar:
         rd, rc = args.polar
 
@@ -157,10 +163,13 @@ def main() -> int:
             keyframe_capacity=max(256, n_frames // 2 + 16),
             edge_capacity=2 * n_frames,
             store_images=False,
-            # At 640×480 the filter cache doubles bank HBM (~1.4 GB with
-            # donation double-buffering) — past what this chip's runtime
-            # serves comfortably; trade 2 transforms/candidate instead.
-            cache_filters=not args.full,
+            # Filter cache ON at every size (r3's 640×480 carve-out is
+            # gone): bf16 bank storage halves the spectra+filter HBM, so
+            # the full flagship bank fits this chip with the cache
+            # (MapConfig.bank_dtype; decision-parity tested in
+            # tests/test_slam_engine.py::test_bank_dtype_bf16_matches_f32).
+            cache_filters=True,
+            bank_dtype="bf16",
         ),
         loop_closure=LoopClosureConfig(
             to_find_loop=True,
@@ -242,6 +251,11 @@ def main() -> int:
         "image": f"{h}x{w}",
         "polar": f"{rd}x{rc}",
         "semantics": "exact_per_frame",  # r3: block/lookahead mode removed
+        # frames whose loop search saw more eligible candidates than
+        # max_candidates (0 = no silent truncation; VERDICT r3 weak #3)
+        "loop_truncated_frames": int(
+            (outs.loop_eligible > config.loop_closure.max_candidates).sum()
+        ),
     }
 
     if args.batch:

@@ -22,7 +22,7 @@ import sys
 import numpy as np
 
 
-def run_size(h: int, w: int, n_frames: int) -> dict:
+def run_size(h: int, w: int, n_frames: int, family: str = "gaussian") -> dict:
     import jax.numpy as jnp
 
     from nislam_tpu.core.config import (
@@ -68,7 +68,8 @@ def run_size(h: int, w: int, n_frames: int) -> dict:
             intrinsics=(fx, w / 2.0, fx, h / 2.0),
         ),
     )
-    world = make_world(world_n, 3.0)
+    sigma = 1.5 if family == "powerlaw" else 3.0
+    world = make_world(world_n, sigma, family=family)
     poses = heading_loop_path(
         n_frames, step=step_px, start=(world_n / 2.0, world_n / 2.0)
     )
@@ -95,30 +96,40 @@ def main() -> int:
     ap.add_argument("--sizes", type=int, nargs="+",
                     default=[96, 128, 192, 256, 384])
     ap.add_argument("--frames", type=int, default=64)
+    ap.add_argument(
+        "--families", nargs="+",
+        default=["gaussian"],
+        help="texture families to sweep (utils.synthetic.make_world); pass "
+        "'gaussian powerlaw blobs fibrous' to check the law's "
+        "texture-invariance (VERDICT r3 #7)",
+    )
     args = ap.parse_args()
 
-    rows = []
-    for s in args.sizes:
-        row = run_size(s, s, args.frames)
-        rows.append(row)
-        print(
-            f"{row['h']}x{row['w']} (n={row['n']}): "
-            f"trans PSR q10/med/q90 = {row['trans_q10']:.2f}/"
-            f"{row['trans_med']:.2f}/{row['trans_q90']:.2f} | "
-            f"rot PSR q10/med/q90 = {row['rot_q10']:.2f}/"
-            f"{row['rot_med']:.2f}/{row['rot_q90']:.2f}",
-            flush=True,
-        )
+    for family in args.families:
+        if len(args.families) > 1:
+            print(f"--- family: {family} ---", flush=True)
+        rows = []
+        for s in args.sizes:
+            row = run_size(s, s, args.frames, family=family)
+            rows.append(row)
+            print(
+                f"{row['h']}x{row['w']} (n={row['n']}): "
+                f"trans PSR q10/med/q90 = {row['trans_q10']:.2f}/"
+                f"{row['trans_med']:.2f}/{row['trans_q90']:.2f} | "
+                f"rot PSR q10/med/q90 = {row['rot_q10']:.2f}/"
+                f"{row['rot_med']:.2f}/{row['rot_q90']:.2f}",
+                flush=True,
+            )
 
-    if len(rows) >= 2:
-        logn = np.log([r["h"] * r["w"] for r in rows])
-        logp = np.log([r["trans_med"] for r in rows])
-        slope = np.polyfit(logn, logp, 1)[0]
-        print(f"fitted: median translation PSR ~ (W*H)^{slope:.3f}")
-        logr = np.log([r["rot_med"] for r in rows])
-        slope_r = np.polyfit(logn, logr, 1)[0]
-        print(f"        median rotation PSR ~ (W*H)^{slope_r:.3f} "
-              f"(rotation grid fixed at 360x(H/2) except tiny sizes)")
+        if len(rows) >= 2:
+            logn = np.log([r["h"] * r["w"] for r in rows])
+            logp = np.log([r["trans_med"] for r in rows])
+            slope = np.polyfit(logn, logp, 1)[0]
+            print(f"fitted [{family}]: median translation PSR ~ (W*H)^{slope:.3f}")
+            logr = np.log([r["rot_med"] for r in rows])
+            slope_r = np.polyfit(logn, logr, 1)[0]
+            print(f"        [{family}]: median rotation PSR ~ (W*H)^{slope_r:.3f} "
+                  f"(rotation grid fixed at 360x(H/2) except tiny sizes)")
     return 0
 
 
