@@ -242,6 +242,64 @@ def cmd_pack(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_eval(args: argparse.Namespace) -> int:
+    """BASELINE-style evaluation through the models layer: one JSON line
+    of frames/s + ATE + tracking stats (configs 1-2 = vo, config 3 = slam)."""
+    import json
+
+    import jax
+    import numpy as np
+
+    from nislam_tpu.core.config import load_config
+    from nislam_tpu.io.dataset import open_dataset
+    from nislam_tpu.io.trajectory import read_tum
+    from nislam_tpu.models import FullSlam, VisualOdometry
+
+    config = load_config(args.config)
+    dataroot = args.dataroot or config.dataset.dataroot
+    dataset = open_dataset(dataroot, config.dataset.image_dir_name or "rgb")
+    n = len(dataset)
+    if args.max_frames:
+        n = min(n, args.max_frames)
+    images, times = [], []
+    for chunk, ts in dataset.chunks(64):
+        images.append(chunk)
+        times.extend(ts.tolist())
+        if sum(len(c) for c in images) >= n:
+            break
+    images = np.concatenate(images)[:n]
+    times = np.asarray(times[:n])
+    gt_xy = None
+    if args.groundtruth:
+        gt_t, gt_xy_all = read_tum(args.groundtruth)
+        # associate by order: read_tum returns aligned times/xy; the model
+        # associates internally by timestamp, so pass both through
+        gt_xy = gt_xy_all[:n]
+
+    model = (
+        VisualOdometry(config) if args.model == "vo" else FullSlam(config)
+    )
+    # warm-up compile on a short prefix so fps measures steady-state
+    _ = model.evaluate(images[: min(8, n)], times=times[:8])
+    res = model.evaluate(images, times=times, gt_xy=gt_xy,
+                         chunk_frames=args.chunk)
+    dev = jax.devices()[0]
+    rec = {
+        "model": args.model,
+        "frames": res.frames,
+        "fps": round(res.fps, 1),
+        "ate_rmse_m": None if res.ate_rmse_m is None else round(res.ate_rmse_m, 4),
+        "tracked_frac": round(res.tracked_frac, 3),
+        "keyframes": res.keyframes,
+        "device": f"{dev.platform}:{dev.device_kind}",
+    }
+    if args.model == "slam":
+        rec["loops"] = res.loops
+        rec["solves"] = res.solves
+    print(json.dumps(rec))
+    return 0
+
+
 def main(argv=None) -> int:
     # Honor JAX_PLATFORMS even when a sitecustomize hook force-registers an
     # accelerator backend (config.update wins over the preset) — same
@@ -273,6 +331,15 @@ def main(argv=None) -> int:
         "--noise", action="store_true",
         help="add sensor noise + illumination drift to the rendered frames",
     )
+    eval_p = sub.add_parser(
+        "eval", help="BASELINE-style model evaluation (fps + ATE JSON line)"
+    )
+    eval_p.add_argument("--config", required=True)
+    eval_p.add_argument("--dataroot", default=None)
+    eval_p.add_argument("--model", choices=["vo", "slam"], default="slam")
+    eval_p.add_argument("--groundtruth", default=None)
+    eval_p.add_argument("--max-frames", type=int, default=0)
+    eval_p.add_argument("--chunk", type=int, default=64)
     args = parser.parse_args(argv)
     if args.cmd == "run":
         return cmd_run(args)
@@ -280,6 +347,8 @@ def main(argv=None) -> int:
         return cmd_pack(args)
     if args.cmd == "synth":
         return cmd_synth(args)
+    if args.cmd == "eval":
+        return cmd_eval(args)
     return 1
 
 

@@ -299,6 +299,7 @@ def chunked_deferred_drive(
     numpy_outputs: bool = True,
     time_axis: int = 0,
     between_chunk_optimize: bool = True,
+    solve_tally: list | None = None,
 ):
     """Shared deferred-mode sequence driver: chunked scans with the
     separately-jitted optimize trigger between chunks, the tail padded into
@@ -312,6 +313,10 @@ def chunked_deferred_drive(
     driver serves all three — the r2 #9b logic lives exactly once).
     Callers with a lane axis handle ``n == 0`` themselves (the empty output
     needs lane-shaped leaves).
+
+    ``solve_tally`` (optional list) collects one 0/1 per chunk-boundary
+    optimize that actually solved — callers that report solve counts
+    (models.FullSlam.evaluate) pass it; costs one host sync per chunk.
 
     ``between_chunk_optimize=False`` skips the deferred solve trigger after
     each chunk — for engines whose chunk program already solves INLINE
@@ -352,7 +357,9 @@ def chunked_deferred_drive(
             state, o = engine.run_chunk(state, tslice(images, sl))
         outs_list.append(o)
         if between_chunk_optimize:
-            state, _ = engine.optimize(state)
+            state, ran = engine.optimize(state)
+            if solve_tally is not None:
+                solve_tally.append(int(np.asarray(ran)))
     outs = jax.tree.map(
         lambda *xs: tslice(jnp.concatenate(xs, axis=time_axis), slice(0, n)),
         *outs_list,

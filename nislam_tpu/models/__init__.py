@@ -10,5 +10,5 @@
 """
 
 from nislam_tpu.models.registration import KCCRegistration  # noqa: F401
-from nislam_tpu.models.vo import VisualOdometry  # noqa: F401
-from nislam_tpu.models.slam import FullSlam  # noqa: F401
+from nislam_tpu.models.vo import EvalResult, VisualOdometry  # noqa: F401
+from nislam_tpu.models.slam import FullSlam, SlamEvalResult  # noqa: F401

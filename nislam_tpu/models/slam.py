@@ -97,3 +97,78 @@ class FullSlam:
         """(K, 3) optimized keyframe poses (GetFramePoses)."""
         k = int(state.bank.count)
         return np.asarray(state.bank.poses[:k])
+
+    def evaluate(
+        self, images, *, times=None, gt_xy=None, chunk_frames: int = 64
+    ) -> "SlamEvalResult":
+        """BASELINE config 3: the full system (tracking + loop closure +
+        pose graph) on a sequence, scored on the OPTIMIZED keyframe poses.
+
+        Returns a :class:`SlamEvalResult` whose ``ate_rmse_m`` associates
+        keyframe poses with ``gt_xy`` (N, 2) by frame index — the honest
+        post-loop-correction accuracy, matching what the reference's
+        ``optimized_keyframe.txt`` dump evaluates to.
+        """
+        import time as _time
+
+        import jax
+
+        from nislam_tpu.io.trajectory import ate_rmse
+
+        from nislam_tpu.core.slam import chunked_deferred_drive
+
+        images = jnp.asarray(images)
+        n = int(images.shape[0])
+        state = self._engine.init_state()
+        tally: list = []
+        t0 = _time.time()
+        if self.config.optimizer.inline:
+            state, outs = self._engine.run_sequence(
+                state, images, chunk_frames=chunk_frames, numpy_outputs=False
+            )
+        else:
+            state, outs = chunked_deferred_drive(
+                self._engine, state, images, chunk_frames=chunk_frames,
+                numpy_outputs=False, solve_tally=tally,
+            )
+        state, _ran = self._engine.finalize(state)
+        kf_poses = np.asarray(state.bank.poses)  # fences
+        dt = _time.time() - t0
+        outs = jax.tree.map(np.asarray, outs)
+        t = np.asarray(times) if times is not None else np.arange(n) / 30.0
+        idx = np.where(outs.keyframe_slot >= 0)[0]
+        slots = outs.keyframe_slot[idx]
+        traj = kf_poses[slots]
+        ate = None
+        if gt_xy is not None:
+            gt_xy = np.asarray(gt_xy)
+            keep = idx < len(gt_xy)
+            try:
+                ate = ate_rmse(t[idx[keep]], traj[keep][:, :2],
+                               t[: len(gt_xy)], gt_xy)
+            except ValueError:
+                ate = None
+        return SlamEvalResult(
+            frames=n,
+            fps=n / dt if dt > 0 else float("inf"),
+            ate_rmse_m=ate,
+            tracked_frac=float(outs.tracked.mean()),
+            keyframes=int(np.asarray(state.bank.count)),
+            loops=int(outs.loop_found.sum()),
+            solves=int(outs.optimized.sum()) + sum(tally) + int(_ran),
+            keyframe_trajectory=traj,
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class SlamEvalResult:
+    """Full-system evaluation record (BASELINE config 3)."""
+
+    frames: int
+    fps: float
+    ate_rmse_m: float | None
+    tracked_frac: float
+    keyframes: int
+    loops: int
+    solves: int
+    keyframe_trajectory: np.ndarray  # (K_used, 3) optimized keyframe poses

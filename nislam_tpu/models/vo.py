@@ -51,3 +51,64 @@ class VisualOdometry:
     def trajectory(self, outs: StepOutput) -> np.ndarray:
         """(N, 3) raw KCC odometry in the robot frame (GetCFPose chain)."""
         return np.asarray(outs.cf_pose)
+
+    def evaluate(
+        self, images, *, times=None, gt_xy=None, chunk_frames: int = 64
+    ) -> "EvalResult":
+        """BASELINE configs 1-2: pure-VO throughput + ATE on a sequence.
+
+        Runs the whole (N, H, W) sequence through the chunked on-device
+        driver, fences with a host readback, and scores the RAW odometry
+        chain (no back end) against ``gt_xy`` (N, 2) when given.  This is
+        the model-level entry the eval CLI and docs call — the number that
+        corresponds to a reference run with ``to_find_loop: false``.
+        """
+        import time as _time
+
+        images = jnp.asarray(images)
+        n = int(images.shape[0])
+        state = self._engine.init_state()
+        t0 = _time.time()
+        state, outs = self._engine.run_sequence(
+            state, images, chunk_frames=chunk_frames, numpy_outputs=False
+        )
+        traj = np.asarray(outs.cf_pose)  # fences the device work
+        dt = _time.time() - t0
+        outs = jax.tree.map(np.asarray, outs)
+        return _evaluate_outputs(
+            outs, n, dt, times, gt_xy, traj, int(np.asarray(state.bank.count))
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class EvalResult:
+    """One BASELINE-style evaluation record (frames/s + ATE + tracking)."""
+
+    frames: int
+    fps: float
+    ate_rmse_m: float | None
+    tracked_frac: float
+    keyframes: int
+    trajectory: np.ndarray  # (N, 3) estimated poses (robot frame)
+
+
+def _evaluate_outputs(outs, n, dt, times, gt_xy, traj, n_kf):
+    from nislam_tpu.io.trajectory import ate_rmse
+
+    ate = None
+    if gt_xy is not None:
+        t = np.asarray(times) if times is not None else np.arange(n) / 30.0
+        gt_xy = np.asarray(gt_xy)
+        gt_t = t[: len(gt_xy)]
+        try:
+            ate = ate_rmse(t[: len(traj)], traj[:, :2], gt_t, gt_xy)
+        except ValueError:
+            ate = None
+    return EvalResult(
+        frames=n,
+        fps=n / dt if dt > 0 else float("inf"),
+        ate_rmse_m=ate,
+        tracked_frac=float(np.asarray(outs.tracked).mean()),
+        keyframes=n_kf,
+        trajectory=traj,
+    )

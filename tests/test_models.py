@@ -93,3 +93,32 @@ def test_full_slam_model(world):
     assert grid[512, 512] >= 0
     assert grid[5, 5] == -1
     np.testing.assert_allclose(origin, [-5.12, -5.12], atol=1e-5)
+
+
+def test_vo_evaluate(world):
+    """VisualOdometry.evaluate — the BASELINE config 1-2 entry point."""
+    vo = VisualOdometry(_config())
+    poses = straight_path(24, step=6.0)
+    frames = render_sequence(world, H, W, poses)
+    gt = np.array([(p[0] - 512.0, p[1] - 512.0) for p in poses]) * 0.01
+    res = vo.evaluate(frames, gt_xy=gt)
+    assert res.frames == 24
+    assert res.tracked_frac == 1.0
+    assert res.fps > 0
+    assert res.ate_rmse_m is not None and res.ate_rmse_m < 0.01
+    assert res.trajectory.shape == (24, 3)
+
+
+def test_full_slam_evaluate(world):
+    """FullSlam.evaluate — the BASELINE config 3 entry point: loop-closed
+    keyframe ATE + loop/solve counts (including mid-run chunk solves)."""
+    slam = FullSlam(_config())
+    poses = square_loop_path(side_steps=20, step=5.7, tail=6)
+    frames = render_sequence(world, H, W, poses)
+    gt = np.array([(p[0] - 512.0, p[1] - 512.0) for p in poses]) * 0.01
+    res = slam.evaluate(frames, gt_xy=gt, chunk_frames=32)
+    assert res.frames == len(frames)
+    assert res.loops >= 1
+    assert res.solves >= 1  # finalize or a mid-run chunk solve fired
+    assert res.ate_rmse_m is not None and res.ate_rmse_m < 0.05
+    assert res.keyframe_trajectory.shape[1] == 3

@@ -401,3 +401,28 @@ def test_fleet_engine_inline_optimizer_matches_single():
         np.testing.assert_allclose(fouts.pose[b], np.asarray(souts.pose), atol=1e-4)
         solves += int(np.asarray(souts.optimized).sum())
     assert solves > 0  # inline solves must actually fire mid-sequence
+
+
+def test_fleet_lane_body_compiles_collective_free():
+    """The fleet engine runs with ``check_vma=False`` (the lane body mixes
+    constant/data-derived cond outputs the vma checker rejects), which
+    disables the very validation whose absence caused the r2 regression.
+    This is the replacement guard (VERDICT r3 #8): compile the real fleet
+    chunk program and assert it contains ZERO collective instructions — an
+    accidental cross-lane dependency fails here instead of silently
+    corrupting lanes."""
+    import jax.numpy as jnp
+
+    from nislam_tpu.parallel.fleet import make_fleet_engine
+    from nislam_tpu.utils.scaling import collective_bytes_from_hlo
+
+    mesh = make_mesh({"data": 2}, devices=jax.devices()[:2])
+    cfg = _config(loop_closure=LoopClosureConfig(
+        to_find_loop=True, position_response_thr=8.0, angle_response_thr=8.0,
+        frame_gap_thr=20, distance_thr=0.8, max_candidates=8,
+    ))
+    fleet = make_fleet_engine(cfg, mesh)
+    states = fleet.init_states()
+    imgs = jnp.zeros((2, 4, H, W), jnp.float32)
+    hlo = fleet.run_chunk.lower(states, imgs).compile().as_text()
+    assert collective_bytes_from_hlo(hlo) == 0, "fleet lane body must be collective-free"
