@@ -84,6 +84,12 @@ def main():
     def fused4(x):
         return back(polar_resample(remove_zero_component(x), idx4, w4), x)
 
+    # half_polar production path: gather only the first rd//2 rows
+    idx4h, w4h = idx4[: rd // 2], w4[: rd // 2]
+
+    def fused4_half(x):
+        return back(polar_resample(remove_zero_component(x), idx4h, w4h), x)
+
     def literal(x):
         return back(warp_polar(fftshift2(remove_zero_component(x)), gx, gy), x)
 
@@ -93,6 +99,7 @@ def main():
         print(f"--- batch {b}")
         bench("fused 8-tap", fused8, x)
         bench("4-tap + elementwise dc", fused4, x)
+        bench("4-tap half_polar (production)", fused4_half, x)
         bench("literal chain", literal, x)
     return 0
 

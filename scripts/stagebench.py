@@ -90,7 +90,7 @@ def main():
     # slicing nor complex64 host transfers.
     from nislam_tpu.ops.fft import c2r
 
-    pshape = (rd, rc)
+    pshape = cfg.polar_shape
     pol = rng.random(pshape).astype(np.float32)
     zf_p = np.fft.rfft2(pol).astype(np.complex64)
     zf_p_pair = np.stack([zf_p.real, zf_p.imag], axis=-1).astype(np.float32)
