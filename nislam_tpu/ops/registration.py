@@ -35,8 +35,8 @@ from nislam_tpu.ops.fft import (
     rfft2,
 )
 from nislam_tpu.ops.warp import (
-    polar_resample,
-    polar_tap_constants,
+    polar_quad_constants,
+    polar_resample_quad,
     rotate_wrap,
     rotate_wrap_fft,
     rotate_wrap_fft_spectrum,
@@ -66,8 +66,8 @@ class CFOps:
     cfg: CFConfig = dataclasses.field(metadata=dict(static=True))
     target_fft: jnp.ndarray  # (H, W//2+1, 2) f32 pair — impulse spectrum, image size
     target_rot_fft: jnp.ndarray  # (D, C//2+1, 2) f32 pair — impulse spectrum, polar size
-    polar_idx: jnp.ndarray  # (D, C, 8) i32 — fused power→polar tap indices
-    polar_w: jnp.ndarray  # (D, C, 8) f32 — fused power→polar tap weights
+    polar_idx: jnp.ndarray  # (D, C) i32 — quad-packed power→polar base indices
+    polar_w: jnp.ndarray  # (D, C, 4) f32 — 2×2 footprint weights
 
 
 # Measured rotation-PSR scale of the half-size polar correlation relative
@@ -85,11 +85,14 @@ def make_cf_ops(cfg: CFConfig) -> CFOps:
     # Spectra are stored as float pairs (ops.fft.c2r): CFOps crosses jit
     # boundaries as an argument, and persistent/boundary complex arrays are
     # not portable across all TPU runtimes.
-    # fold_dc=False: 4 taps + one elementwise DC pass beats the 8-tap fully
-    # fused table ~1.5x on TPU (gather taps dominate; scripts/polarbench.py).
-    pidx, pw = polar_tap_constants(
-        cfg.height, cfg.width, cfg.rotation_divisor, cfg.rotation_channel,
-        fold_dc=False,
+    # Quad-packed taps (r4): one gather index per output fetching the
+    # contiguous 2×2 footprint — 4× fewer gather descriptors than the
+    # 4-index table (the descriptor count is what the TPU gather lowering
+    # pays for; bit-identical outputs, ops.warp.polar_quad_constants).
+    # DC suppression stays a cheap elementwise pass (fold_dc-False
+    # equivalent; measured best in r3, scripts/polarbench.py).
+    pidx, pw = polar_quad_constants(
+        cfg.height, cfg.width, cfg.rotation_divisor, cfg.rotation_channel
     )
     pd, pc = cfg.polar_shape
     # half_polar: keep only the rows covering angles [0, π) of the SAME
@@ -228,11 +231,10 @@ def compute_intermedium(
     cfg = ops.cfg
     f = rfft2(image)
     power = irfft2(jnp.abs(f), (cfg.height, cfg.width))
-    # fftshift + polar bilinear gather fused into one precomputed 4-tap
-    # table (ops.warp.polar_tap_constants); DC suppression stays a cheap
-    # elementwise pass — measured faster than both the literal chain and
-    # the 8-tap fully folded table (scripts/polarbench.py).
-    pol = polar_resample(
+    # fftshift + polar bilinear gather fused into one quad-packed table
+    # (one index per output, ops.warp.polar_quad_constants); DC suppression
+    # stays a cheap elementwise pass (scripts/polarbench.py).
+    pol = polar_resample_quad(
         remove_zero_component(power), ops.polar_idx, ops.polar_w
     )
     return f, rfft2(pol)

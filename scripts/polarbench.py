@@ -90,16 +90,72 @@ def main():
     def fused4_half(x):
         return back(polar_resample(remove_zero_component(x), idx4h, w4h), x)
 
+    def fused4_half_bm(x):
+        # batch-minor row-gather: transpose the batch to the minor axis so
+        # the shared-index gather reads contiguous (B,) vectors per tap
+        # (embedding-lookup pattern) instead of B*taps scalar gathers.
+        if x.ndim == 2:
+            return fused4_half(x)
+        b = x.shape[0]
+        p = remove_zero_component(x).reshape(b, h * w).T  # (HW, B)
+        taps = jnp.take(p, idx4h.reshape(-1), axis=0)     # (D2*C*4, B)
+        taps = taps.reshape(rd // 2, rc, 4, b)
+        pol = jnp.einsum("dckb,dck->dcb", taps, w4h)
+        return back(jnp.moveaxis(pol, -1, 0), x)
+
+    from nislam_tpu.ops.fft import rfft2 as _rfft2
+    from nislam_tpu.ops.warp import polar_quad_constants, polar_resample_quad
+
+    baseq, w4q = polar_quad_constants(h, w, rd, rc)
+    baseq, w4q = jnp.asarray(baseq[: rd // 2]), jnp.asarray(w4q[: rd // 2])
+
+    def quad_into_rfft2(x):
+        pol = polar_resample_quad(remove_zero_component(x), baseq, w4q)
+        return back(jnp.abs(_rfft2(pol)), x)
+
+    def half_into_rfft2(x):
+        # the ENGINE's context: gather feeding rfft2(pol) (consumer fusion)
+        pol = polar_resample(remove_zero_component(x), idx4h, w4h)
+        return back(jnp.abs(_rfft2(pol)), x)
+
+    def quadbm_into_rfft2(x):
+        # quad + batch-minor: ONE descriptor per polar output PER CHUNK,
+        # each fetching the (B, 4) footprint block (B*16 bytes contiguous)
+        from nislam_tpu.ops.warp import quad_pack
+        b = x.shape[0]
+        q = quad_pack(remove_zero_component(x))          # (B, HW, 4)
+        qbm = jnp.moveaxis(q, 0, 1).reshape(h * w, b * 4)  # (HW, B*4)
+        taps = jnp.take(qbm, baseq.reshape(-1), axis=0)  # (D2*C, B*4)
+        taps = taps.reshape(rd // 2, rc, b, 4)
+        pol = jnp.einsum("dcbk,dck->bdc", taps, w4q)
+        return back(jnp.abs(_rfft2(pol)), x)
+
+    def crop_into_rfft2(x):
+        # same consumer, gather replaced by a crop: the difference is the
+        # gather's true marginal cost in context
+        pol = remove_zero_component(x)[..., : rd // 2, :rc]
+        return back(jnp.abs(_rfft2(pol)), x)
+
     def literal(x):
         return back(warp_polar(fftshift2(remove_zero_component(x)), gx, gy), x)
 
-    for b in (1, args.batch):
+    only_ctx = os.environ.get("POLARBENCH_ONLY_CTX") == "1"
+    for b in ((args.batch,) if only_ctx else (1, args.batch)):
         shape = (h, w) if b == 1 else (b, h, w)
         x = rng.random(shape, dtype=np.float32)
         print(f"--- batch {b}")
+        if only_ctx:
+            bench("half gather -> rfft2 (engine ctx)", half_into_rfft2, x)
+            bench("quad gather -> rfft2 (1 idx/out)", quad_into_rfft2, x)
+            bench("quad batch-minor -> rfft2", quadbm_into_rfft2, x)
+            bench("crop -> rfft2 (no gather bound)", crop_into_rfft2, x)
+            continue
         bench("fused 8-tap", fused8, x)
         bench("4-tap + elementwise dc", fused4, x)
         bench("4-tap half_polar (production)", fused4_half, x)
+        bench("4-tap half batch-minor rowgather", fused4_half_bm, x)
+        bench("half gather -> rfft2 (engine ctx)", half_into_rfft2, x)
+        bench("crop -> rfft2 (no gather bound)", crop_into_rfft2, x)
         bench("literal chain", literal, x)
     return 0
 
