@@ -444,3 +444,36 @@ def test_half_polar_matches_full(rng, angle_deg):
     # measured band (ratio 0.70-0.95 across configs/textures, mean 0.84)
     ratio = (out["half"][1][2] * HALF_POLAR_PSR_SCALE) / out["full"][1][2]
     assert 0.70 <= ratio <= 0.95, ratio
+
+
+@pytest.mark.parametrize("angle_deg", [-160.0, -45.0, 20.0, 95.0])
+def test_rotation_channel_64_matches_full(rng, angle_deg):
+    """Regression pin for the rotation_channel=64 knob (VERDICT r3 #3,
+    docs/ROTSTUDY_r4.md): the channel count is radial resolution only —
+    loop-mode angle recovery at C=64 must equal the full-channel result to
+    within one divisor bin, including the 180° disambiguation."""
+    import dataclasses
+
+    got = {}
+    for c in (64, CFG.rotation_channel):
+        ops = make_cf_ops(dataclasses.replace(CFG, rotation_channel=c))
+        base = _texture(rng)
+        cur = cv2.warpAffine(
+            base,
+            cv2.getRotationMatrix2D((W / 2.0, H / 2.0), angle_deg, 1.0),
+            (W, H),
+            flags=cv2.INTER_LINEAR,
+            borderMode=cv2.BORDER_WRAP,
+        )
+        kf_fft, kf_polar = compute_intermedium(jnp.asarray(base), ops)
+        _, cur_polar = compute_intermedium(jnp.asarray(cur), ops)
+        pose, info = compute_pose(
+            kf_fft, jnp.asarray(cur), kf_polar, cur_polar, ops,
+            large_rotation=True,
+        )
+        got[c] = math.degrees(float(np.asarray(pose)[2]))
+    rot_res = 360.0 / CFG.rotation_divisor
+    dd = abs(got[64] - got[CFG.rotation_channel]) % 360.0
+    assert min(dd, 360.0 - dd) <= rot_res + 1e-3, got
+    dd_true = abs(got[64] - angle_deg) % 360.0
+    assert min(dd_true, 360.0 - dd_true) <= 2 * rot_res + 1e-3, got
