@@ -279,8 +279,12 @@ def cmd_eval(args: argparse.Namespace) -> int:
     model = (
         VisualOdometry(config) if args.model == "vo" else FullSlam(config)
     )
-    # warm-up compile on a short prefix so fps measures steady-state
-    _ = model.evaluate(images[: min(8, n)], times=times[:8])
+    # warm-up compile with the SAME chunk shape the timed run uses, so the
+    # timed fps measures steady-state (a different warm-up length would
+    # leave the real chunk program compiling inside the timed region)
+    warm = min(args.chunk, n)
+    _ = model.evaluate(images[:warm], times=times[:warm],
+                       chunk_frames=args.chunk)
     res = model.evaluate(images, times=times, gt_xy=gt_xy,
                          chunk_frames=args.chunk)
     dev = jax.devices()[0]
