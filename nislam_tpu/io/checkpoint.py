@@ -26,8 +26,19 @@ def _paths_of(tree: Any) -> np.ndarray:
 
 def save_state(path: str, state: Any) -> str:
     leaves = jax.tree_util.tree_leaves(state)
-    arrays = {f"leaf_{i:03d}": np.asarray(leaf) for i, leaf in enumerate(leaves)}
-    np.savez_compressed(path, paths=_paths_of(state), **arrays)
+    arrays = {}
+    dtypes = []
+    for i, leaf in enumerate(leaves):
+        a = np.asarray(leaf)
+        dtypes.append(a.dtype.name)
+        if a.dtype.name == "bfloat16":
+            # npz has no bfloat16 (MapConfig.bank_dtype="bf16" banks):
+            # store the bit pattern; load_state views it back.
+            a = a.view(np.uint16)
+        arrays[f"leaf_{i:03d}"] = a
+    np.savez_compressed(
+        path, paths=_paths_of(state), dtypes=np.asarray(dtypes), **arrays
+    )
     return path
 
 
@@ -46,7 +57,19 @@ def load_state(path: str, template: Any) -> Any:
                 f"{len(saved_paths)} leaves {saved_paths[:3]}…, template "
                 f"{len(tpl_paths)} leaves {tpl_paths[:3]}…"
             )
-        leaves = [data[f"leaf_{i:03d}"] for i in range(len(saved_paths))]
+        dtypes = (
+            [str(d) for d in data["dtypes"]]
+            if "dtypes" in data
+            else [None] * len(saved_paths)  # pre-r4 checkpoints
+        )
+        leaves = []
+        for i in range(len(saved_paths)):
+            a = data[f"leaf_{i:03d}"]
+            if dtypes[i] == "bfloat16":
+                import ml_dtypes
+
+                a = a.view(ml_dtypes.bfloat16)
+            leaves.append(a)
     treedef = jax.tree_util.tree_structure(template)
     tpl_leaves = jax.tree_util.tree_leaves(template)
     for i, (got, want) in enumerate(zip(leaves, tpl_leaves)):

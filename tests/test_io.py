@@ -176,6 +176,25 @@ def test_checkpoint_roundtrip(tmp_path):
         np.asarray(restored.track.last_fft), np.asarray(state.track.last_fft)
     )
 
+    # bf16 bank checkpoints roundtrip bit-exactly (npz has no bfloat16;
+    # save_state stores the bit pattern — io/checkpoint.py)
+    import dataclasses
+
+    cfgb = dataclasses.replace(
+        cfg, map=dataclasses.replace(cfg.map, bank_dtype="bf16")
+    )
+    engb = make_engine(cfgb)
+    stb = engb.init_state()
+    stb, _ = engb.step(stb, jnp.ones((24, 32), jnp.float32) * 0.5)
+    pb = str(tmp_path / "state_bf16.npz")
+    save_state(pb, stb)
+    restb = load_state(pb, engb.init_state())
+    assert restb.bank.fft.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(
+        np.asarray(restb.bank.fft, dtype=np.float32),
+        np.asarray(stb.bank.fft, dtype=np.float32),
+    )
+
     # structure mismatch → clear error
     cfg2 = SlamConfig(
         cf=CFConfig(width=32, height=24, rotation_divisor=36, rotation_channel=16),
