@@ -269,23 +269,19 @@ def cmd_eval(args: argparse.Namespace) -> int:
             break
     images = np.concatenate(images)[:n]
     times = np.asarray(times[:n])
-    gt_xy = None
+    gt_xy, gt_t = None, None
     if args.groundtruth:
-        gt_t, gt_xy_all = read_tum(args.groundtruth)
-        # associate by order: read_tum returns aligned times/xy; the model
-        # associates internally by timestamp, so pass both through
-        gt_xy = gt_xy_all[:n]
+        gt_t, gt_xy = read_tum(args.groundtruth)
 
     model = (
         VisualOdometry(config) if args.model == "vo" else FullSlam(config)
     )
-    # warm-up compile with the SAME chunk shape the timed run uses, so the
-    # timed fps measures steady-state (a different warm-up length would
-    # leave the real chunk program compiling inside the timed region)
-    warm = min(args.chunk, n)
-    _ = model.evaluate(images[:warm], times=times[:warm],
-                       chunk_frames=args.chunk)
-    res = model.evaluate(images, times=times, gt_xy=gt_xy,
+    # Warm-up with a FULL identical run so the timed pass hits every
+    # compiled program (chunked + masked-tail + inline variants alike) —
+    # on remote-compile TPU backends a partially-warm run reports compile
+    # time, not steady-state throughput.
+    _ = model.evaluate(images, times=times, chunk_frames=args.chunk)
+    res = model.evaluate(images, times=times, gt_xy=gt_xy, gt_times=gt_t,
                          chunk_frames=args.chunk)
     dev = jax.devices()[0]
     rec = {

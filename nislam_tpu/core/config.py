@@ -56,8 +56,14 @@ class CFConfig:
     # mod 180° (measured bit-equal across a ±180° sweep; the mod-180
     # representative is all the reference ever extracts, since tracking
     # folds |deg|>90 and loop mode tries both hypotheses).  Angle resolution
-    # is unchanged (still 360/divisor °/bin).  Silently falls back to the
-    # full map for odd divisors.
+    # is unchanged (still 360/divisor °/bin).  The rotation PSR is
+    # recalibrated to full-grid units by the measured
+    # HALF_POLAR_PSR_SCALE (ops.registration) — exact for matched peaks to
+    # within the measured ±10% band; NO-match responses (which measure
+    # ≈equal on both grids) come out ~1.2× higher than full-polar, so
+    # near-threshold rotation gates are marginally more permissive than
+    # the reference's tuning.  Silently falls back to the full map for odd
+    # divisors.
     half_polar: bool = True
 
     @property

@@ -78,4 +78,10 @@ def load_state(path: str, template: Any) -> Any:
                 f"leaf {saved_paths[i]}: shape {got.shape} != template "
                 f"{want.shape} (different capacities/config?)"
             )
+        if np.dtype(got.dtype) != np.dtype(want.dtype):
+            raise ValueError(
+                f"leaf {saved_paths[i]}: dtype {got.dtype} != template "
+                f"{want.dtype} (checkpoint saved under a different "
+                f"bank_dtype/config — resume with the matching config)"
+            )
     return jax.tree_util.tree_unflatten(treedef, leaves)

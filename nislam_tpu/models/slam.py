@@ -99,7 +99,8 @@ class FullSlam:
         return np.asarray(state.bank.poses[:k])
 
     def evaluate(
-        self, images, *, times=None, gt_xy=None, chunk_frames: int = 64
+        self, images, *, times=None, gt_xy=None, gt_times=None,
+        chunk_frames: int = 64
     ) -> "SlamEvalResult":
         """BASELINE config 3: the full system (tracking + loop closure +
         pose graph) on a sequence, scored on the OPTIMIZED keyframe poses.
@@ -138,14 +139,22 @@ class FullSlam:
         t = np.asarray(times) if times is not None else np.arange(n) / 30.0
         idx = np.where(outs.keyframe_slot >= 0)[0]
         slots = outs.keyframe_slot[idx]
+        # Ring eviction recycles slots: a keyframe's slot only still holds
+        # ITS pose if the bank's frame_id at that slot matches the frame
+        # that inserted it — drop evicted keyframes from the scored
+        # trajectory (their poses are gone by design).
+        bank_fids = np.asarray(state.bank.frame_ids)
+        live = bank_fids[slots] == outs.frame_id[idx]
+        idx, slots = idx[live], slots[live]
         traj = kf_poses[slots]
         ate = None
         if gt_xy is not None:
             gt_xy = np.asarray(gt_xy)
-            keep = idx < len(gt_xy)
+            gt_t = (np.asarray(gt_times) if gt_times is not None
+                    else t[: len(gt_xy)])
+            keep = idx < len(gt_xy) if gt_times is None else np.ones(len(idx), bool)
             try:
-                ate = ate_rmse(t[idx[keep]], traj[keep][:, :2],
-                               t[: len(gt_xy)], gt_xy)
+                ate = ate_rmse(t[idx[keep]], traj[keep][:, :2], gt_t, gt_xy)
             except ValueError:
                 ate = None
         return SlamEvalResult(

@@ -53,7 +53,8 @@ class VisualOdometry:
         return np.asarray(outs.cf_pose)
 
     def evaluate(
-        self, images, *, times=None, gt_xy=None, chunk_frames: int = 64
+        self, images, *, times=None, gt_xy=None, gt_times=None,
+        chunk_frames: int = 64
     ) -> "EvalResult":
         """BASELINE configs 1-2: pure-VO throughput + ATE on a sequence.
 
@@ -76,7 +77,8 @@ class VisualOdometry:
         dt = _time.time() - t0
         outs = jax.tree.map(np.asarray, outs)
         return _evaluate_outputs(
-            outs, n, dt, times, gt_xy, traj, int(np.asarray(state.bank.count))
+            outs, n, dt, times, gt_xy, traj,
+            int(np.asarray(state.bank.count)), gt_times=gt_times,
         )
 
 
@@ -92,14 +94,16 @@ class EvalResult:
     trajectory: np.ndarray  # (N, 3) estimated poses (robot frame)
 
 
-def _evaluate_outputs(outs, n, dt, times, gt_xy, traj, n_kf):
+def _evaluate_outputs(outs, n, dt, times, gt_xy, traj, n_kf, gt_times=None):
     from nislam_tpu.io.trajectory import ate_rmse
 
     ate = None
     if gt_xy is not None:
         t = np.asarray(times) if times is not None else np.arange(n) / 30.0
         gt_xy = np.asarray(gt_xy)
-        gt_t = t[: len(gt_xy)]
+        # real gt timestamps when given (timestamp association); otherwise
+        # index alignment (synthetic gt generated per frame)
+        gt_t = np.asarray(gt_times) if gt_times is not None else t[: len(gt_xy)]
         try:
             ate = ate_rmse(t[: len(traj)], traj[:, :2], gt_t, gt_xy)
         except ValueError:

@@ -106,7 +106,13 @@ class DistributedSlamEngine:
         multiprocess = jax.process_count() > 1
 
         def put(leaf, s):
+            if isinstance(leaf, jax.Array) and leaf.sharding == s:
+                return leaf  # idempotent re-place
             if multiprocess:
+                if isinstance(leaf, jax.Array) and not leaf.is_fully_addressable:
+                    # already a global array (re-placing a live state):
+                    # reshard on-device — np.asarray would fail here
+                    return jax.device_put(leaf, s)
                 import numpy as np
 
                 x = np.asarray(leaf)

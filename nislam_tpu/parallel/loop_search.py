@@ -44,8 +44,14 @@ def find_loop_closure_sharded(
     axis: str = "bank",
 ) -> LoopResult:
     """Sharded-bank loop search; bank arrays sharded on slot axis over
-    ``axis``, everything else replicated.  ``max_candidates`` applies per
-    shard (local block cap)."""
+    ``axis``, everything else replicated.
+
+    ``max_candidates`` applies PER SHARD (local block cap), so an N-shard
+    search evaluates up to N×max_candidates candidates — strictly more
+    than the single-chip search; a ``loop_eligible > max_candidates``
+    reading from this engine therefore does not necessarily mean anything
+    was truncated.  Under local truncation, shard-local priority matches
+    the single-chip rule: keyframes closest to the prior pose win."""
     nshards = mesh.shape[axis]
     k = bank.capacity
     if k % nshards:
@@ -54,8 +60,8 @@ def find_loop_closure_sharded(
     c = min(cfg.max_candidates, local_k)
 
     def local_search(
-        fft, polar_fft, filt, filt_polar, poses_grid, frame_ids, distances, count,
-        image, cur_polar, cur_fid, cur_dist, prior,
+        fft, polar_fft, filt, filt_polar, poses_grid, poses, frame_ids,
+        distances, count, image, cur_polar, cur_fid, cur_dist, prior,
     ):
         shard = jax.lax.axis_index(axis)
         base = shard * local_k
@@ -73,7 +79,15 @@ def find_loop_closure_sharded(
         b.distances = distances
         eligible = _gating_mask(b, cur_fid, cur_dist, jnp.logical_and(near, valid), cfg)
 
-        _, picked_idx = jax.lax.top_k(eligible.astype(jnp.float32), c)
+        # Same truncation priority as the single-chip search: when the
+        # local eligible set exceeds the per-shard cap, keep the keyframes
+        # spatially closest to the prior pose (ties → lowest slot).  poses
+        # ride in REPLICATED (P()) and the local block is sliced here — an
+        # in_spec of P(axis) would reshard the bank's (replicated) pose
+        # tensor and perturb the whole program's sharding assignment.
+        local_poses = jax.lax.dynamic_slice_in_dim(poses, base, local_k, 0)
+        d2 = jnp.sum((local_poses[:, :2] - prior[:2]) ** 2, axis=-1)
+        _, picked_idx = jax.lax.top_k(jnp.where(eligible, -d2, -jnp.inf), c)
         picked = eligible[picked_idx]
         filters = (
             (r2c(filt[picked_idx]), r2c(filt_polar[picked_idx]))
@@ -106,7 +120,8 @@ def find_loop_closure_sharded(
         local_search,
         mesh=mesh,
         in_specs=(
-            P(axis), P(axis), P(axis), P(axis), P(axis), P(axis), P(axis), P(),
+            P(axis), P(axis), P(axis), P(axis), P(axis), P(), P(axis),
+            P(axis), P(),
             P(), P(), P(), P(), P(),
         ),
         out_specs=(P(axis), P(axis), P(axis), P(axis), P(axis), P(axis)),
@@ -117,6 +132,7 @@ def find_loop_closure_sharded(
         bank.filt,
         bank.filt_polar,
         bank.grid_xy,
+        bank.poses,
         bank.frame_ids,
         bank.distances,
         bank.count,
