@@ -30,11 +30,7 @@ import jax.numpy as jnp
 
 from nislam_tpu.core.camera import CameraOps, make_camera_ops
 from nislam_tpu.core.config import SlamConfig
-from nislam_tpu.core.loop_closure import (
-    LoopResult,
-    find_loop_closure,
-    no_loop_result,
-)
+from nislam_tpu.core.loop_closure import find_loop_closure, no_loop_result
 from nislam_tpu.core.map_store import (
     EDGE_KCC,
     EDGE_LOOP,

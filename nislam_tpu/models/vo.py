@@ -8,13 +8,13 @@ output, matching the reference run with ``to_find_loop: false``.
 from __future__ import annotations
 
 import dataclasses
-from typing import Iterable, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from nislam_tpu.core.config import LoopClosureConfig, SlamConfig
+from nislam_tpu.core.config import SlamConfig
 from nislam_tpu.core.slam import SlamEngine, SlamState, StepOutput, make_engine
 
 

@@ -27,18 +27,11 @@ import jax
 import jax.numpy as jnp
 
 from nislam_tpu.core.config import CFConfig
-from nislam_tpu.ops.fft import (
-    c2r,
-    impulse_spectrum_pair,
-    irfft2,
-    r2c,
-    rfft2,
-)
+from nislam_tpu.ops.fft import impulse_spectrum_pair, irfft2, r2c, rfft2
 from nislam_tpu.ops.warp import (
     polar_quad_constants,
     polar_resample_quad,
     rotate_wrap,
-    rotate_wrap_fft,
     rotate_wrap_fft_spectrum,
 )
 

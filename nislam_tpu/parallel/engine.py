@@ -34,7 +34,7 @@ import functools
 from functools import partial
 
 import jax
-import jax.numpy as jnp
+
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from nislam_tpu.core.camera import CameraOps, make_camera_ops

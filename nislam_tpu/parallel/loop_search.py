@@ -17,8 +17,6 @@ winner by total response, threshold acceptance.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P

@@ -349,3 +349,36 @@ def test_derived_thresholds_anchor_and_scaling():
     assert abs(rot["upper_rotation_response_thr"] - 45.0) < 0.01
     assert rot["position_response_thr"] == 60.0
     assert rot["lower_response_thr"] == 30.0
+
+
+def test_cli_eval_subcommand(tmp_path):
+    """The eval subcommand (BASELINE-style model evaluation) emits one
+    parseable JSON record per model with timestamp-associated ATE."""
+    import json
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    ds = str(tmp_path / "ds")
+    r = subprocess.run(
+        [sys.executable, "-m", "nislam_tpu", "synth", "--out", ds,
+         "--frames", "48", "--height", "96", "--width", "128"],
+        capture_output=True, text=True, env=env, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr
+    for model in ("slam", "vo"):
+        r = subprocess.run(
+            [sys.executable, "-m", "nislam_tpu", "eval",
+             "--config", f"{ds}/config.yaml",
+             "--groundtruth", f"{ds}/groundtruth.txt",
+             "--model", model, "--chunk", "24"],
+            capture_output=True, text=True, env=env, timeout=600,
+        )
+        assert r.returncode == 0, r.stderr
+        rec = json.loads(r.stdout.strip().splitlines()[-1])
+        assert rec["model"] == model
+        assert rec["frames"] == 48
+        assert rec["tracked_frac"] == 1.0
+        assert rec["ate_rmse_m"] is not None and rec["ate_rmse_m"] < 0.05
+        if model == "slam":
+            assert "loops" in rec and "solves" in rec
