@@ -426,3 +426,55 @@ def test_fleet_lane_body_compiles_collective_free():
     imgs = jnp.zeros((2, 4, H, W), jnp.float32)
     hlo = fleet.run_chunk.lower(states, imgs).compile().as_text()
     assert collective_bytes_from_hlo(hlo) == 0, "fleet lane body must be collective-free"
+
+
+def test_sharded_truncation_prioritizes_prior_proximity(rng):
+    """Per-shard candidate-cap truncation must keep the keyframes nearest
+    the prior pose (the r4 single-chip rule), not the lowest local slots:
+    a true match at the HIGHEST local slot of its shard must survive a
+    local cap of 2 with three nearer-slot decoys in the same shard."""
+    import dataclasses
+
+    from nislam_tpu.core.map_store import add_keyframe, make_keyframe_bank
+    from nislam_tpu.ops.registration import (
+        compute_intermedium,
+        compute_keyframe_filters,
+        make_cf_ops,
+    )
+    from nislam_tpu.utils.synthetic import make_world, render_frame
+
+    mesh = make_mesh({"bank": 4}, devices=jax.devices()[:4])
+    cf = CFConfig(width=W, height=H, rotation_divisor=90, rotation_channel=48)
+    mp = MapConfig(grid_scale=1.0, keyframe_capacity=16, edge_capacity=16)
+    ops = make_cf_ops(cf)
+    world = make_world(512, 3.0)
+    bank = make_keyframe_bank(cf, mp)
+    # slots 0-2: decoys clustered at (250, 250); slot 3: the true revisit
+    # target at (280, 262) — last in shard 0's local slot order.
+    poses_px = [(250.0, 250.0), (251.0, 251.0), (252.0, 252.0), (280.0, 262.0)]
+    for i, (px, py) in enumerate(poses_px):
+        img = jnp.asarray(render_frame(world, H, W, px, py, 0.0))
+        fft, polar = compute_intermedium(img, ops)
+        fi, fp = compute_keyframe_filters(fft, polar, ops)
+        bank = add_keyframe(
+            bank, fft=fft, polar_fft=polar, filt=fi, filt_polar=fp, image=img,
+            pose=jnp.asarray([(px - 256.0) * 0.01, (py - 256.0) * 0.01, 0.0],
+                             jnp.float32),
+            frame_id=jnp.asarray(i, jnp.int32),
+            distance=jnp.asarray(0.01 * i, jnp.float32),
+            grid_scale=mp.grid_scale, enabled=jnp.asarray(True),
+        ).bank
+    img = jnp.asarray(render_frame(world, H, W, 281.0, 262.0, 0.0))
+    _, polar = compute_intermedium(img, ops)
+    lc = LoopClosureConfig(
+        frame_gap_thr=0, distance_thr=0.0,  # gates off: all 4 eligible
+        position_response_thr=6.0, angle_response_thr=3.0, max_candidates=2,
+    )
+    prior = jnp.asarray([0.24, 0.06, 0.0], jnp.float32)
+    res = find_loop_closure_sharded(
+        bank, img, polar, jnp.asarray(100, jnp.int32),
+        jnp.asarray(9.0, jnp.float32), prior, ops, lc, mp.grid_scale, mesh,
+    )
+    assert int(res.eligible_count) == 4
+    assert bool(res.found)
+    assert int(res.loop_slot) == 3  # proximity won over slot order
