@@ -101,25 +101,10 @@ class DistributedSlamEngine:
         host values (true for ``init_state`` and for checkpoints restored
         identically everywhere), exactly the multi-controller SPMD contract.
         """
+        from nislam_tpu.parallel.mesh import put_global as put
+
         shard = NamedSharding(self.mesh, P(self.axis))
         repl = NamedSharding(self.mesh, P())
-        multiprocess = jax.process_count() > 1
-
-        def put(leaf, s):
-            if isinstance(leaf, jax.Array) and leaf.sharding == s:
-                return leaf  # idempotent re-place
-            if multiprocess:
-                if isinstance(leaf, jax.Array) and not leaf.is_fully_addressable:
-                    # already a global array (re-placing a live state):
-                    # reshard on-device — np.asarray would fail here
-                    return jax.device_put(leaf, s)
-                import numpy as np
-
-                x = np.asarray(leaf)
-                return jax.make_array_from_callback(
-                    x.shape, s, lambda idx: x[idx]
-                )
-            return jax.device_put(leaf, s)
 
         bank = state.bank
         big = dict(

@@ -108,12 +108,17 @@ class FleetSlamEngine:
         return NamedSharding(self.mesh, P("data"))
 
     def init_states(self):
+        from nislam_tpu.parallel.mesh import place_global
+
         one = init_state(self.config, self._cf_ops)
         n = self.n_lanes
         states = jax.tree.map(
             lambda x: jnp.broadcast_to(x[None], (n,) + x.shape), one
         )
-        return jax.device_put(states, self._sharding)
+        # place_global: also valid on multi-process meshes (lanes spanning
+        # hosts), where a plain device_put of host arrays cannot target
+        # non-addressable devices.
+        return place_global(states, self._sharding)
 
     def _wrap(self, lane_fn, extra_in_specs=()):
         """shard_map a per-lane function over the ``data`` axis; each shard

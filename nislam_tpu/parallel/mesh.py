@@ -64,3 +64,27 @@ def init_distributed(
         process_id=process_id,
     )
     return len(jax.devices())
+
+
+def put_global(leaf, sharding: NamedSharding):
+    """``jax.device_put`` that also works on multi-process meshes.
+
+    Single-process: plain ``device_put``.  Multi-process: host inputs
+    (which every process must hold identically — the multi-controller SPMD
+    contract) become global arrays via ``make_array_from_callback``;
+    already-global arrays reshard on-device (``np.asarray`` would raise
+    for non-addressable inputs).  Leaves already carrying the target
+    sharding pass through untouched (idempotent)."""
+    if isinstance(leaf, jax.Array) and leaf.sharding == sharding:
+        return leaf
+    if jax.process_count() > 1:
+        if isinstance(leaf, jax.Array) and not leaf.is_fully_addressable:
+            return jax.device_put(leaf, sharding)
+        x = np.asarray(leaf)
+        return jax.make_array_from_callback(x.shape, sharding, lambda idx: x[idx])
+    return jax.device_put(leaf, sharding)
+
+
+def place_global(tree, sharding: NamedSharding):
+    """:func:`put_global` over a pytree (one sharding for every leaf)."""
+    return jax.tree.map(lambda x: put_global(x, sharding), tree)

@@ -123,7 +123,79 @@ def main() -> int:
     # --- phase 2: the distributed SLAM system across the process boundary
     slam_system_across_processes(mesh, gshard)
     print(f"DIST_SYSTEM_OK pid={pid}", flush=True)
+
+    # --- phase 3: the FLEET engine (one sequence per device, BASELINE
+    # config 4) with lanes spanning the process boundary
+    fleet_across_processes(ndev)
+    print(f"DIST_FLEET_OK pid={pid}", flush=True)
     return 0
+
+
+def fleet_across_processes(ndev):
+    """FleetSlamEngine on a global 'data' mesh across 2 processes: each of
+    the 4 lanes (2 per process) must reproduce the single-chip engine's
+    run of its own sequence exactly."""
+    from jax.sharding import PartitionSpec as P
+
+    from nislam_tpu.core.config import (
+        CFConfig,
+        CameraConfig,
+        KeyframeSelectionConfig,
+        SlamConfig,
+        LoopClosureConfig,
+        MapConfig,
+    )
+    from nislam_tpu.core.slam import make_engine
+    from nislam_tpu.parallel.fleet import make_fleet_engine
+    from nislam_tpu.parallel.mesh import make_mesh, place_global
+    from nislam_tpu.parallel.mesh import NamedSharding
+    from nislam_tpu.utils.synthetic import make_world, render_sequence, straight_path
+
+    h, w = 48, 64
+    config = SlamConfig(
+        cf=CFConfig(width=w, height=h, rotation_divisor=72, rotation_channel=24),
+        keyframe_selection=KeyframeSelectionConfig(
+            max_distance=0.08, max_angle=0.05,
+            lower_response_thr=3.0, upper_response_thr=5.0,
+        ),
+        map=MapConfig(grid_scale=0.15, keyframe_capacity=32, edge_capacity=64),
+        loop_closure=LoopClosureConfig(to_find_loop=False),
+        camera=CameraConfig(
+            image_width=w, image_height=h, height=1.0,
+            intrinsics=(100.0, w / 2.0, 100.0, h / 2.0),
+        ),
+    )
+    # one deterministic sequence per lane (identical on every process)
+    seqs = np.stack([
+        render_sequence(
+            make_world(256, 3.0, seed=10 + lane), h, w,
+            straight_path(12, step=4.0, start=(128.0, 128.0)),
+        )
+        for lane in range(ndev)
+    ])
+
+    mesh = make_mesh({"data": ndev})
+    fleet = make_fleet_engine(config, mesh)
+    states = fleet.init_states()
+    gimgs = place_global(
+        jnp.asarray(seqs), NamedSharding(mesh, P("data"))
+    )
+    states, fouts = fleet.run_chunk(states, gimgs)
+    states, _ = fleet.finalize(states)
+
+    # each process checks ITS addressable lanes against a local single run
+    for shard in states.bank.poses.addressable_shards:
+        lane = shard.index[0].start or 0
+        eng = make_engine(config)
+        st = eng.init_state()
+        st, outs = eng.run_chunk(st, jnp.asarray(seqs[lane]))
+        st, _ = eng.finalize(st)
+        n_kf = int(np.asarray(st.bank.count))
+        lane_poses = np.asarray(shard.data)[0]
+        np.testing.assert_allclose(
+            lane_poses[:n_kf], np.asarray(st.bank.poses)[:n_kf], atol=1e-5,
+            err_msg=f"lane {lane} diverged from the single-chip engine",
+        )
 
 
 def slam_system_across_processes(mesh, gshard):

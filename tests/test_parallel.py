@@ -309,6 +309,9 @@ def test_two_process_distributed_solve(tmp_path):
         # phase 2 (VERDICT r3 #4): the full sharded-bank SLAM system ran
         # across the process boundary and matched the single-chip engine
         assert "DIST_SYSTEM_OK" in out
+        # phase 3: fleet lanes spanning the process boundary, lane-for-lane
+        # equal to the single-chip engine
+        assert "DIST_FLEET_OK" in out
 
 
 def test_fleet_engine_matches_single():
