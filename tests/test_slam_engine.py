@@ -462,3 +462,27 @@ def test_texture_families_track(family):
     slots = outs.keyframe_slot[idx]
     err = np.linalg.norm(np.asarray(state.bank.poses)[slots][:, :2] - gt[idx], axis=1)
     assert err.mean() < 0.12, (family, err.mean())
+
+
+def test_full_polar_fallback_tracks(world):
+    """half_polar=False (the full-map fallback, also what odd divisors get)
+    must keep working end-to-end — the ops-level half/full comparisons
+    don't exercise the engine shapes."""
+    poses = heading_loop_path(60, step=5.0, turn_steps=10, tail=8)
+    frames = render_sequence(world, H, W, poses)
+    cfg = _config(distance_thr=1.2)
+    cfg = dataclasses.replace(
+        cfg, cf=dataclasses.replace(cfg.cf, half_polar=False)
+    )
+    assert cfg.cf.polar_shape == (180, 96)  # full grid
+    engine = make_engine(cfg)
+    state = engine.init_state()
+    state, outs = engine.run_sequence(state, jnp.asarray(frames), chunk_frames=32)
+    state, _ = engine.finalize(state)
+    assert outs.tracked.mean() > 0.95
+    assert outs.inserted.sum() >= 4
+    gt = _gt_xy(poses)
+    idx = np.where(outs.keyframe_slot >= 0)[0]
+    slots = outs.keyframe_slot[idx]
+    err = np.linalg.norm(np.asarray(state.bank.poses)[slots][:, :2] - gt[idx], axis=1)
+    assert err.mean() < 0.12
