@@ -45,6 +45,12 @@ def main() -> int:
         "batch size (BASELINE config 4)",
     )
     ap.add_argument(
+        "--size", type=int, nargs=2, default=None, metavar=("H", "W"),
+        help="override the image size (exploration datapoints, e.g. the "
+        "reference's 448x448 geekplus or 1200x1600 HD configs); the "
+        "OFFICIAL number is the frozen default size",
+    )
+    ap.add_argument(
         "--polar", type=int, nargs=2, default=None, metavar=("D", "C"),
         help="override (rotation_divisor, rotation_channel) — the polar "
         "resample is the measured hot spot and the reference's own tuning "
@@ -139,6 +145,8 @@ def main() -> int:
         n_frames = args.frames or 512
         world_n, step_px = 4096, 8.0
         chunk = args.chunk
+    if args.size:
+        h, w = args.size
     if args.polar:
         rd, rc = args.polar
 
