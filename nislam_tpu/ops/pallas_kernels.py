@@ -97,6 +97,14 @@ def peak_stats(
     """
     if force == "jnp" or _DISABLE:
         return _jnp_peak_stats(g)
+    # The fused kernel holds one full (H, W) response block in VMEM; past
+    # ~4 MB per instance the Mosaic stack allocation (with the compiler's
+    # instance pipelining) exceeds the 16 MB VMEM budget — measured OOM at
+    # the reference's HD config (1200×1600 × the 8-candidate × 2-hypothesis
+    # loop batch needs 22.8 MB).  Oversized responses take the plain-XLA
+    # multi-pass reduction instead (bandwidth-bound either way at that size).
+    if g.shape[-2] * g.shape[-1] * 4 > 4 * 1024 * 1024:
+        return _jnp_peak_stats(g)
     fn = _pallas_peak_stats_2d
     for _ in range(g.ndim - 2):
         fn = jax.vmap(fn)
