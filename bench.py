@@ -185,7 +185,7 @@ def main() -> int:
             angle_response_thr=thr["angle_response_thr"],
             frame_gap_thr=30,
             distance_thr=16 * step_px * px,
-            max_candidates=8,
+            max_candidates=int(os.environ.get("NISLAM_BENCH_MAX_CAND", "8")),
         ),
         camera=CameraConfig(
             image_width=w, image_height=h, height=1.0,
