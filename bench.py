@@ -180,7 +180,8 @@ def main() -> int:
             bank_dtype="bf16",
         ),
         loop_closure=LoopClosureConfig(
-            to_find_loop=True,
+            # NISLAM_BENCH_NO_LOOP=1: perf-ablation knob (loop search off).
+            to_find_loop=os.environ.get("NISLAM_BENCH_NO_LOOP", "") in ("", "0"),
             position_response_thr=thr["position_response_thr"],
             angle_response_thr=thr["angle_response_thr"],
             frame_gap_thr=30,
@@ -191,6 +192,9 @@ def main() -> int:
             image_width=w, image_height=h, height=1.0,
             intrinsics=(fx, w / 2.0, fx, h / 2.0),
         ),
+        # Divides the per-while-iteration carry overhead of this tunneled
+        # backend (scripts/bwprobe3.py); compile time scales with it.
+        scan_unroll=int(os.environ.get("NISLAM_BENCH_UNROLL", "1")),
     )
 
     # Rotating loop (heading tangent to motion, 360° of yaw) + sensor noise

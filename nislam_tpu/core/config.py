@@ -262,6 +262,13 @@ class SlamConfig:
     optimizer: OptimizerConfig = OptimizerConfig()
     saving: SavingConfig = SavingConfig()
     camera: CameraConfig = CameraConfig()
+    # lax.scan unroll factor for the per-frame chunk drivers.  On backends
+    # with a per-while-iteration overhead proportional to the carried state
+    # (the tunneled bench TPU round-trips non-aliasable carry updates at
+    # ~1 GB/s — measured in scripts/bwprobe*.py, round 5), unrolling k
+    # frames per while iteration divides that overhead by k at the cost of
+    # a k×-larger program (slower compile).  1 = plain scan.
+    scan_unroll: int = 1
 
 
 def derive_response_thresholds(

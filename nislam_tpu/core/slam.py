@@ -186,7 +186,9 @@ class SlamEngine:
                     defer_optimize=defer, features=xs,
                 )
 
-            return jax.lax.scan(body, state, feats)
+            return jax.lax.scan(
+                body, state, feats, unroll=config.scan_unroll
+            )
 
         return lambda state, images: run(state, images, self.cf_ops, self.camera)
 
@@ -219,7 +221,9 @@ class SlamEngine:
 
                 return jax.lax.cond(v, live, dead, st)
 
-            return jax.lax.scan(body, state, (feats, valid))
+            return jax.lax.scan(
+                body, state, (feats, valid), unroll=config.scan_unroll
+            )
 
         return lambda state, images, valid: run(
             state, images, valid, self.cf_ops, self.camera

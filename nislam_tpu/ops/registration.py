@@ -306,6 +306,27 @@ def compute_pose(
         trans, info_trans = estimate_trans(
             last_fft, rot_fft, r2c(ops.target_fft), ishape, cfg, filt=filt_img
         )
+    elif cfg.rotate_method == "fft" and cfg.height % 2 == 0 and cfg.width % 2 == 0:
+        # Both hypotheses from ONE rotation: R(d+180) = rot180 ∘ R(d) is an
+        # exact operator identity, rot180 is a pure reindex (ops.warp._rot180:
+        # dst(y,x) = src((-y)%H, (-x)%W)), and the rfft2 of a 180°-reindexed
+        # real image is the CONJUGATE of its half spectrum (X[(-k)%H, (-l)%W]
+        # = conj(X[k, l]) by Hermitian symmetry).  The reference de-rotates
+        # twice (correlation_flow.cc:115-132); hypothesis 2 here is an
+        # elementwise conj — half the shear/transform work of every loop-mode
+        # registration.  (Equals the two-rotation shear path everywhere except
+        # the y=0/x=0 boundary-row phases, where the shear approximant and
+        # rot180 don't commute — decision-equivalent, SURVEY §7 hard part 2.)
+        rf = rotate_spec(image, -degree)  # (..., H, W2)
+        rot2_fft = jnp.stack([rf, jnp.conj(rf)], axis=-3)  # (..., 2, H, W2)
+        trans2, info2 = estimate_trans(
+            last_fft[..., None, :, :], rot2_fft, r2c(ops.target_fft), ishape, cfg,
+            filt=None if filt_img is None else filt_img[..., None, :, :],
+        )
+        take_veri = info2[..., 1] > info2[..., 0]
+        info_trans = jnp.where(take_veri, info2[..., 1], info2[..., 0])
+        trans = jnp.where(take_veri[..., None], trans2[..., 1, :], trans2[..., 0, :])
+        degree = jnp.where(take_veri, degree + 180.0, degree)
     else:
         # Both hypotheses in one batched rotate + FFT + registration.
         degs = jnp.stack([-degree, -degree + 180.0], axis=-1)  # (..., 2)

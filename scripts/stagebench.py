@@ -40,6 +40,9 @@ def main():
 
     if args.size == 640:
         h, w, rd, rc = 480, 640, 720, 480
+    elif args.size == 1200:
+        # the reference HD config (/root/reference/configs/config_HD.yaml)
+        h, w, rd, rc = 1200, 1600, 720, 480
     else:
         h, w, rd, rc = 256, 256, 360, 240
     cfg = CFConfig(width=w, height=h, rotation_divisor=rd, rotation_channel=rc)

@@ -477,3 +477,229 @@ def test_rotation_channel_64_matches_full(rng, angle_deg):
     assert min(dd, 360.0 - dd) <= rot_res + 1e-3, got
     dd_true = abs(got[64] - angle_deg) % 360.0
     assert min(dd_true, 360.0 - dd_true) <= 2 * rot_res + 1e-3, got
+
+
+# ---------------------------------------------------------------------------
+# Cooley–Tukey-factored matmul-DFT (the HD-axis path, ops.fft._use_ct)
+# ---------------------------------------------------------------------------
+
+
+class TestFactoredDFT:
+    """The factored path must be oracle-exact at every composite size.
+
+    Production only enables it for axes ≥ NISLAM_CT_MIN (default 1024 —
+    the reference HD config's 1200/1600, config_HD.yaml:9-17); the tests
+    drop the threshold so the same code paths run at CPU-friendly sizes.
+    """
+
+    def setup_method(self):
+        from nislam_tpu.ops import fft as F
+
+        F.set_fft_backend("mm")
+        F.set_ct_min(8)
+
+    def teardown_method(self):
+        from nislam_tpu.ops import fft as F
+
+        F.set_fft_backend(None)
+        F.set_ct_min(None)
+
+    def test_ct_split(self):
+        from nislam_tpu.ops.fft import _ct_split
+
+        assert _ct_split(1600) == (40, 40)
+        assert _ct_split(1200) == (30, 40)
+        assert _ct_split(720) == (24, 30)
+        assert _ct_split(97) is None  # prime
+        assert _ct_split(2 * 101) is None  # near-prime: no flop win
+
+    @pytest.mark.parametrize("h,w", [(48, 64), (36, 100), (60, 45), (21, 33)])
+    def test_rfft2_irfft2_oracle(self, rng, h, w):
+        from nislam_tpu.ops.fft import _use_ct
+
+        assert _use_ct(h) and _use_ct(w)
+        x = rng.standard_normal((h, w)).astype(np.float32)
+        got = np.asarray(rfft2(jnp.asarray(x)))
+        np.testing.assert_allclose(got, np.fft.rfft2(x), atol=2e-4)
+        back = np.asarray(irfft2(jnp.asarray(np.fft.rfft2(x)), (h, w)))
+        np.testing.assert_allclose(back, x, atol=2e-5)
+
+    def test_mixed_axes(self, rng):
+        """One axis factored, the other dense (e.g. prime)."""
+        x = rng.standard_normal((37, 48)).astype(np.float32)  # 37 prime
+        np.testing.assert_allclose(
+            np.asarray(rfft2(jnp.asarray(x))), np.fft.rfft2(x), atol=2e-4
+        )
+        xf = np.fft.rfft2(x)
+        np.testing.assert_allclose(
+            np.asarray(irfft2(jnp.asarray(xf), (37, 48))), x, atol=2e-5
+        )
+
+    def test_irfft2_of_real_magnitude(self, rng):
+        x = rng.standard_normal((48, 64)).astype(np.float32)
+        mag = np.abs(np.fft.rfft2(x)).astype(np.float32)
+        got = np.asarray(irfft2(jnp.asarray(mag), (48, 64)))
+        oracle = np.fft.irfft2(mag, s=(48, 64))
+        np.testing.assert_allclose(got, oracle, atol=2e-5)
+
+    def test_1d_transforms_oracle(self, rng):
+        from nislam_tpu.ops.fft import (
+            irfft_ax2,
+            irfft_last,
+            rfft_ax2,
+            rfft_last,
+        )
+
+        x = rng.standard_normal((5, 48, 64)).astype(np.float32)
+        np.testing.assert_allclose(
+            np.asarray(rfft_last(jnp.asarray(x))),
+            np.fft.rfft(x, axis=-1),
+            atol=2e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(rfft_ax2(jnp.asarray(x))),
+            np.fft.rfft(x, axis=-2),
+            atol=2e-4,
+        )
+        fl = np.fft.rfft(x, axis=-1)
+        np.testing.assert_allclose(
+            np.asarray(irfft_last(jnp.asarray(fl), 64)), x, atol=2e-5
+        )
+        f2 = np.fft.rfft(x, axis=-2)
+        np.testing.assert_allclose(
+            np.asarray(irfft_ax2(jnp.asarray(f2), 48)), x, atol=2e-5
+        )
+
+    def test_rfft2_from_last_spectrum(self, rng):
+        from nislam_tpu.ops.fft import rfft2_from_last_spectrum
+
+        x = rng.standard_normal((48, 64)).astype(np.float32)
+        g = np.fft.rfft(x, axis=-1)
+        got = np.asarray(rfft2_from_last_spectrum(jnp.asarray(g)))
+        np.testing.assert_allclose(got, np.fft.rfft2(x), atol=2e-4)
+
+    def test_registration_recovers_transform_via_ct(self, rng):
+        """End-to-end gate: compute_pose at a CT-active size recovers a
+        known (tx, ty, θ) — the factored spectra feed the whole KCC chain."""
+        import dataclasses
+
+        cfg = dataclasses.replace(CFG, half_polar=False)
+        from nislam_tpu.ops.fft import _use_ct
+
+        assert _use_ct(cfg.height) and _use_ct(cfg.width)
+        ops = make_cf_ops(cfg)
+        base = _texture(rng)
+        angle, dx, dy = -9.0, 4, -3
+        rot = cv2.warpAffine(
+            base,
+            cv2.getRotationMatrix2D((W / 2.0, H / 2.0), angle, 1.0),
+            (W, H),
+            flags=cv2.INTER_LINEAR,
+            borderMode=cv2.BORDER_WRAP,
+        )
+        cur = np.roll(rot, (dy, dx), axis=(0, 1))
+        kf_fft, kf_polar = compute_intermedium(jnp.asarray(base), ops)
+        _, cur_polar = compute_intermedium(jnp.asarray(cur), ops)
+        pose, info = compute_pose(
+            kf_fft, jnp.asarray(cur), kf_polar, cur_polar, ops,
+            large_rotation=False,
+        )
+        got_deg = math.degrees(float(pose[2]))
+        rot_res = 360.0 / cfg.rotation_divisor
+        assert abs(got_deg - angle) <= 2 * rot_res + 1e-3, (got_deg, angle)
+        a = math.radians(angle)
+        exp_dx = math.cos(a) * dx - math.sin(a) * dy
+        exp_dy = math.sin(a) * dx + math.cos(a) * dy
+        assert abs(-float(pose[0]) - exp_dx) <= 1.5
+        assert abs(-float(pose[1]) - exp_dy) <= 1.5
+        assert float(info[0]) > 10.0 and float(info[2]) > 5.0
+
+    def test_batched_and_vmap(self, rng):
+        x = rng.standard_normal((3, 48, 64)).astype(np.float32)
+        got = np.asarray(rfft2(jnp.asarray(x)))
+        np.testing.assert_allclose(got, np.fft.rfft2(x, axes=(-2, -1)), atol=2e-4)
+        vgot = np.asarray(jax.vmap(rfft2)(jnp.asarray(x)))
+        np.testing.assert_allclose(vgot, got, atol=1e-4)
+
+
+def test_conj_spectrum_is_180_rotation(rng):
+    """The loop-mode hypothesis-2 shortcut: conj of the rfft2 half spectrum
+    == the spectrum of the 180°-reindexed image (exact), and ≈ the shear
+    rotation by deg+180 (decision-level, boundary rows differ)."""
+    from nislam_tpu.ops.fft import rfft2
+    from nislam_tpu.ops.warp import _rot180, rotate_wrap_fft_spectrum
+
+    img = jnp.asarray(_texture(rng, 64, 96))
+    f = rfft2(img)
+    np.testing.assert_allclose(
+        np.asarray(jnp.conj(f)), np.asarray(rfft2(_rot180(img))), atol=1e-3
+    )
+
+
+@pytest.mark.parametrize("angle", [150.0, -120.0, 179.0])
+def test_loop_mode_conj_hypothesis_matches_gather_path(rng, angle):
+    """Loop-mode compute_pose via the conj-hypothesis shortcut (fft rotate
+    path) decides like the explicit two-rotation gather path: same angle,
+    same shift, comparable confidence."""
+    import dataclasses
+
+    base = _texture(rng)
+    cur = cv2.warpAffine(
+        base,
+        cv2.getRotationMatrix2D((W / 2.0, H / 2.0), angle, 1.0),
+        (W, H),
+        flags=cv2.INTER_LINEAR,
+        borderMode=cv2.BORDER_WRAP,
+    )
+    res = {}
+    for method in ("fft", "gather"):
+        cfg = dataclasses.replace(CFG, rotate_method=method)
+        ops = make_cf_ops(cfg)
+        kf_fft, kf_polar = compute_intermedium(jnp.asarray(base), ops)
+        _, cur_polar = compute_intermedium(jnp.asarray(cur), ops)
+        pose, info = compute_pose(
+            kf_fft, jnp.asarray(cur), kf_polar, cur_polar, ops,
+            large_rotation=True,
+        )
+        res[method] = (np.asarray(pose), np.asarray(info))
+    pf, inf_f = res["fft"]
+    pg, inf_g = res["gather"]
+    err = abs((math.degrees(pf[2]) - math.degrees(pg[2]) + 180) % 360 - 180)
+    assert err <= 360.0 / CFG.rotation_divisor + 1e-3
+    np.testing.assert_allclose(pf[:2], pg[:2], atol=1.5)
+    # PSR differs between sinc (fft) and bilinear (gather) interpolation —
+    # a pre-existing, documented gap (SURVEY §7 hard part 2), not the conj
+    # shortcut: vs the explicit two-rotation fft construction the conj
+    # hypothesis is verified to ~0.1% below.
+    np.testing.assert_allclose(inf_f[0], inf_g[0], rtol=0.5)
+
+
+def test_conj_hypothesis_matches_explicit_fft_rotation(rng):
+    """conj(rfft2(rotate_fft(img, -d))) registers identically (PSR ~0.1%)
+    to the explicit rotate_fft(img, -d+180) spectrum it replaces."""
+    from nislam_tpu.ops.fft import r2c
+    from nislam_tpu.ops.warp import rotate_wrap_fft_spectrum
+
+    base = _texture(rng)
+    cur = cv2.warpAffine(
+        base,
+        cv2.getRotationMatrix2D((W / 2.0, H / 2.0), -120.0, 1.0),
+        (W, H),
+        flags=cv2.INTER_LINEAR,
+        borderMode=cv2.BORDER_WRAP,
+    )
+    ops = make_cf_ops(CFG)
+    kf_fft, _ = compute_intermedium(jnp.asarray(base), ops)
+    img = jnp.asarray(cur)
+    tgt = r2c(ops.target_fft)
+    for degree, matched in ((60.0, True), (-33.0, False)):
+        f_old = rotate_wrap_fft_spectrum(img, jnp.float32(-degree + 180.0))
+        f_new = jnp.conj(rotate_wrap_fft_spectrum(img, jnp.float32(-degree)))
+        tr_o, psr_o = estimate_trans(kf_fft, f_old, tgt, (H, W), CFG)
+        tr_n, psr_n = estimate_trans(kf_fft, f_new, tgt, (H, W), CFG)
+        if matched:  # a no-match response's argmax is noise — PSR only there
+            np.testing.assert_allclose(np.asarray(tr_n), np.asarray(tr_o), atol=1.0)
+            np.testing.assert_allclose(float(psr_n), float(psr_o), rtol=0.02)
+        else:
+            assert float(psr_n) < 12.0 and float(psr_o) < 12.0
+            np.testing.assert_allclose(float(psr_n), float(psr_o), rtol=0.35)

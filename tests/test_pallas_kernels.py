@@ -56,3 +56,53 @@ def test_pallas_path_interpret_mode(rng):
     assert float(peak) == pytest.approx(gn.max())
     assert int(idx) == int(gn.argmax())
     np.testing.assert_allclose(float(s), gn.sum(), rtol=1e-4)
+
+
+class TestBlockedPeakStats:
+    """Row-block-streamed kernel for oversized responses (the HD path)."""
+
+    def _run(self, g, block_rows):
+        from jax.experimental.pallas import tpu as pltpu
+
+        from nislam_tpu.ops.pallas_kernels import _pallas_peak_stats_blocked
+
+        try:
+            with pltpu.force_tpu_interpret_mode():
+                return jax.jit(
+                    lambda x: _pallas_peak_stats_blocked(x, block_rows)
+                )(g)
+        except Exception as exc:  # pragma: no cover
+            pytest.skip(f"pallas interpret mode unavailable: {exc}")
+
+    @pytest.mark.parametrize("h,w,bh", [(32, 128, 8), (20, 128, 8), (24, 256, 24)])
+    def test_matches_jnp_path(self, rng, h, w, bh):
+        """Multi-block (incl. a masked partial tail at h=20) equals the
+        multi-pass oracle bit-for-bit."""
+        g = jnp.asarray(rng.standard_normal((2, h, w)).astype(np.float32))
+        peak, idx, s, ss = self._run(g, bh)
+        wpeak, widx, ws, wss = peak_stats(g, force="jnp")
+        np.testing.assert_array_equal(np.asarray(peak), np.asarray(wpeak))
+        np.testing.assert_array_equal(np.asarray(idx), np.asarray(widx))
+        np.testing.assert_allclose(np.asarray(s), np.asarray(ws), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(ss), np.asarray(wss), rtol=1e-5)
+
+    def test_tiebreak_across_blocks(self, rng):
+        """Equal maxima in different row blocks: the column-major-first
+        winner must be chosen regardless of block order.  (5,1) has
+        column-major index 1*h+5 < (17,0)'s 0*h+17?  No: 0*24+17=17 <
+        1*24+5=29 — so the LATER row block's (17,0) wins."""
+        h, w = 24, 128
+        g = np.zeros((h, w), np.float32)
+        g[5, 1] = 7.0   # block 0 (rows 0-7), cm idx = 1*24+5 = 29
+        g[17, 0] = 7.0  # block 2 (rows 16-23), cm idx = 0*24+17 = 17 → first
+        peak, idx, s, ss = self._run(jnp.asarray(g), 8)
+        assert int(idx) == 17 * w + 0
+        _, widx, _, _ = peak_stats(jnp.asarray(g), force="jnp")
+        assert int(idx) == int(widx)
+
+    def test_single_batch_and_3d(self, rng):
+        g = jnp.asarray(rng.standard_normal((16, 128)).astype(np.float32))
+        peak, idx, s, ss = self._run(g, 8)
+        gn = np.asarray(g).ravel()
+        assert float(peak) == pytest.approx(gn.max())
+        assert int(idx) == int(gn.argmax())
