@@ -187,6 +187,9 @@ def main() -> int:
             frame_gap_thr=30,
             distance_thr=16 * step_px * px,
             max_candidates=int(os.environ.get("NISLAM_BENCH_MAX_CAND", "8")),
+            # Coarse-to-fine candidate ranking (LoopClosureConfig.coarse_scale);
+            # 1 = exact full-res ranking (the frozen flagship semantics).
+            coarse_scale=int(os.environ.get("NISLAM_BENCH_COARSE", "1")),
         ),
         camera=CameraConfig(
             image_width=w, image_height=h, height=1.0,

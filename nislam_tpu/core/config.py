@@ -164,6 +164,16 @@ class LoopClosureConfig:
     distance_thr: float = 5.0
     max_candidates: int = 8
     pending_capacity: int = 32
+    # Coarse-to-fine candidate selection (r5, for large images): rank the
+    # candidate batch with a translation registration at 1/coarse_scale
+    # resolution (consistent sinc downsampling of both sides via
+    # ops.fft.spectral_crop), then run the EXACT full-resolution
+    # two-hypothesis registration only on the winning candidate — the
+    # acceptance thresholds and the loop-edge pose keep reference
+    # semantics (loop_closure.cc:60-71); only the argmax over candidates
+    # uses coarse confidences.  1 = off (rank at full resolution, the
+    # reference behavior).  Must divide the image into even sizes.
+    coarse_scale: int = 1
 
 
 @dataclasses.dataclass(frozen=True)
@@ -390,6 +400,7 @@ def load_config(path: str, *, load_camera: bool = True) -> SlamConfig:
         frame_gap_thr=int(lcn.get("frame_gap_thr", 100)),
         distance_thr=float(lcn.get("distance_thr", 5.0)),
         max_candidates=int(lcn.get("max_candidates", 8)),
+        coarse_scale=int(lcn.get("coarse_scale", 1)),
         pending_capacity=int(lcn.get("pending_capacity", 32)),
     )
 

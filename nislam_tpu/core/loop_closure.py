@@ -30,9 +30,19 @@ import jax
 import jax.numpy as jnp
 
 from nislam_tpu.core.config import LoopClosureConfig
-from nislam_tpu.core.map_store import KeyframeBank, frames_in_neighborhood
-from nislam_tpu.ops.fft import r2c
-from nislam_tpu.ops.registration import CFOps, compute_pose
+from nislam_tpu.core.map_store import (
+    KeyframeBank,
+    frames_in_neighborhood,
+    gather_slots,
+)
+from nislam_tpu.ops.fft import impulse_spectrum_pair, irfft2, r2c, rfft2, spectral_crop
+from nislam_tpu.ops.registration import (
+    CFOps,
+    compute_pose,
+    estimate_rotation,
+    estimate_trans,
+)
+from nislam_tpu.ops.warp import rotate_wrap_fft_spectrum
 
 
 class LoopResult(NamedTuple):
@@ -82,6 +92,84 @@ def _gating_mask(
     return m
 
 
+def _coarse_fine_search(
+    zf: jnp.ndarray,
+    zp: jnp.ndarray,
+    filters,
+    image: jnp.ndarray,
+    cur_fft: jnp.ndarray,
+    cur_polar_fft: jnp.ndarray,
+    picked: jnp.ndarray,
+    slots: jnp.ndarray,
+    cf_ops: CFOps,
+    cfg: LoopClosureConfig,
+    n_eligible: jnp.ndarray,
+) -> LoopResult:
+    """Coarse-to-fine candidate evaluation (``LoopClosureConfig.coarse_scale``).
+
+    Stage 1 — exact rotation per candidate from the full polar spectra
+    (small grids; identical to :func:`compute_pose`'s rotation stage).
+    Stage 2 — COARSE translation registration of both 180° hypotheses at
+    1/s resolution: both sides are sinc-downsampled through the same
+    ``spectral_crop``, the coarse keyframe filter is solved from the
+    cropped spectrum, and the per-candidate score mimics the reference's
+    ``response.sum()`` ranking (loop_closure.cc:60-66) with the coarse
+    translation PSR rescaled by s (the measured √area PSR law,
+    ``derive_response_thresholds``).
+    Stage 3 — EXACT full-resolution two-hypothesis :func:`compute_pose`
+    on the winning candidate only: the acceptance thresholds and the
+    loop-edge pose keep full reference semantics; only the candidate
+    argmax is approximated.  ~s²× less full-resolution work per search.
+    """
+    cf = cf_ops.cfg
+    s = cfg.coarse_scale
+    ishape = (cf.height, cf.width)
+    cshape = (cf.height // s, cf.width // s)
+    filt_img, filt_polar = filters if filters is not None else (None, None)
+
+    # Stage 1: rotation (exact, shared with the winner's compute_pose).
+    degree, info_rot = estimate_rotation(
+        zp, cur_polar_fft[None], cf_ops, filt_polar
+    )  # (C,)
+
+    # Stage 2: coarse two-hypothesis translation ranking.
+    cur_cimg = irfft2(spectral_crop(cur_fft, ishape, s), cshape)
+    rfc = rotate_wrap_fft_spectrum(cur_cimg[None], -degree)  # (C, Hs, Ws2)
+    rot2 = jnp.stack([rfc, jnp.conj(rfc)], axis=-3)  # (C, 2, Hs, Ws2)
+    zc = spectral_crop(zf, ishape, s)  # (C, Hs, Ws2)
+    ctgt = r2c(jnp.asarray(impulse_spectrum_pair(*cshape)))
+    _, cpsr = estimate_trans(
+        zc[:, None], rot2, ctgt, cshape, cf, filt=None
+    )  # (C, 2)
+    score = 2.0 * s * jnp.max(cpsr, axis=-1) + info_rot
+    total = jnp.where(picked, score, -jnp.inf)
+    best = jnp.argmax(total)
+
+    # Stage 3: exact full-resolution registration of the winner.
+    filters_b = (
+        None if filters is None else (filt_img[best], filt_polar[best])
+    )
+    best_pose, best_info = compute_pose(
+        zf[best], image, zp[best], cur_polar_fft, cf_ops,
+        large_rotation=True, filters=filters_b,
+    )
+    any_eligible = jnp.any(picked)
+    found = jnp.logical_and(
+        any_eligible,
+        jnp.logical_and(
+            best_info[0] > cfg.position_response_thr,
+            best_info[2] > cfg.angle_response_thr,
+        ),
+    )
+    return LoopResult(
+        found=found,
+        loop_slot=slots[best],
+        relative_pose=best_pose,
+        response=jnp.where(any_eligible, best_info, -jnp.inf),
+        eligible_count=n_eligible,
+    )
+
+
 def _batched_search(
     bank: KeyframeBank,
     image: jnp.ndarray,
@@ -91,6 +179,7 @@ def _batched_search(
     max_candidates: int,
     cfg: LoopClosureConfig,
     prior_pose: jnp.ndarray | None = None,
+    cur_fft: jnp.ndarray | None = None,
 ) -> LoopResult:
     # Deterministic pick of up to C eligible slots.  When the eligible set
     # exceeds the cap, priority goes to the keyframes spatially CLOSEST to
@@ -110,13 +199,25 @@ def _batched_search(
     picked = eligible[slots]  # (C,) — False where top_k padded with ineligible
 
     # Gather in float-pair form (backend-portable), then view as complex.
-    zf = r2c(bank.fft[slots])  # (C, H, W2)
-    zp = r2c(bank.polar_fft[slots])  # (C, D, C2)
+    # Per-slot dynamic slices, NOT arr[slots]: the XLA gather lowering
+    # layout-copies the whole bank first (see map_store.gather_slots).
+    zf = r2c(gather_slots(bank.fft, slots, c))  # (C, H, W2)
+    zp = r2c(gather_slots(bank.polar_fft, slots, c))  # (C, D, C2)
     filters = (
-        (r2c(bank.filt[slots]), r2c(bank.filt_polar[slots]))
+        (
+            r2c(gather_slots(bank.filt, slots, c)),
+            r2c(gather_slots(bank.filt_polar, slots, c)),
+        )
         if bank.filt.shape[1]
         else None  # cache_filters off: recompute Kzz per candidate
     )
+    if cfg.coarse_scale > 1:
+        if cur_fft is None:  # callers that don't thread the frame spectrum
+            cur_fft = rfft2(image)
+        return _coarse_fine_search(
+            zf, zp, filters, image, cur_fft, cur_polar_fft,
+            picked, slots, cf_ops, cfg, n_eligible,
+        )
     pose, info = compute_pose(
         zf,
         image[None, :, :],
@@ -158,14 +259,17 @@ def find_loop_closure(
     cf_ops: CFOps,
     cfg: LoopClosureConfig,
     grid_scale: float,
+    cur_fft: jnp.ndarray | None = None,
 ) -> LoopResult:
     """Spatially-gated search — parity with the prior-pose overload
-    (/root/reference/src/loop_closure.cc:17-34)."""
+    (/root/reference/src/loop_closure.cc:17-34).  ``cur_fft`` (optional)
+    is the current frame's image spectrum, reused by the coarse-to-fine
+    path instead of re-transforming ``image``."""
     near = frames_in_neighborhood(bank, prior_pose, grid_scale)
     eligible = _gating_mask(bank, cur_frame_id, cur_distance, near, cfg)
     return _batched_search(
         bank, image, cur_polar_fft, eligible, cf_ops, cfg.max_candidates, cfg,
-        prior_pose=prior_pose,
+        prior_pose=prior_pose, cur_fft=cur_fft,
     )
 
 

@@ -152,6 +152,24 @@ def make_edge_store(map_cfg: MapConfig) -> EdgeStore:
     )
 
 
+def gather_slots(arr: jnp.ndarray, slots: jnp.ndarray, c: int) -> jnp.ndarray:
+    """Gather ``c`` bank slots as ``c`` unrolled dynamic slices.
+
+    ``arr[slots]`` (an XLA gather) on a large bank is catastrophic on TPU:
+    the compiler's mini-gather lowering layout-copies the ENTIRE bank into
+    gather-friendly form first — profiled at the HD config (r5,
+    scripts/hdprofile.py) as 4 × ~1 GB whole-bank copies per loop search,
+    ~60% of total frame time.  ``c`` per-slot ``dynamic_slice`` reads touch
+    only the selected slots at the bank's native layout (c × slot_bytes).
+    ``c`` is static and small (max_candidates), so the unroll is cheap.
+    """
+    parts = [
+        jax.lax.dynamic_slice_in_dim(arr, slots[i], 1, axis=0)
+        for i in range(c)
+    ]
+    return jnp.concatenate(parts, axis=0)
+
+
 def grid_location(xy: jnp.ndarray, grid_scale: float) -> jnp.ndarray:
     """Spatial-hash cell of a robot-frame position.
 

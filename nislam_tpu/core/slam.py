@@ -891,6 +891,7 @@ def slam_step(
                 cf_ops,
                 lc_cfg,
                 config.map.grid_scale,
+                cur_fft=fft,  # reused by the coarse-to-fine path
             )
 
         def no_search(_):

@@ -641,6 +641,35 @@ def irfft_ax2(xf: jnp.ndarray, n: int) -> jnp.ndarray:
     return jnp.fft.irfft(xf, n=n, axis=-2)
 
 
+def spectral_crop(
+    xf: jnp.ndarray, shape: tuple[int, int], scale: int
+) -> jnp.ndarray:
+    """Low-pass crop of an rfft2 half spectrum: the spectrum of the
+    sinc-downsampled image at ``(H/scale, W/scale)``, scaled by
+    ``1/scale²`` so spatial values keep their magnitude.
+
+    Rows kept: the ``Hs//2+1`` lowest positive and ``Hs//2-1`` highest
+    (negative) frequencies; columns: the first ``Ws//2+1`` bins.  The
+    coarse Nyquist row/column are zeroed (their full-spectrum mirrors are
+    dropped by the crop, so keeping them would break Hermitian symmetry).
+    Used by the coarse-to-fine loop search (core.loop_closure) — both
+    sides of the coarse correlation go through THIS function, so the
+    downsampling is consistent.  ``scale`` must divide both axes with
+    even results.
+    """
+    h, w = shape
+    hs, ws = h // scale, w // scale
+    if hs * scale != h or ws * scale != w or hs % 2 or ws % 2:
+        raise ValueError(f"spectral_crop: {h}x{w} not divisible into even {hs}x{ws}")
+    ws2 = ws // 2 + 1
+    top = xf[..., : hs // 2 + 1, :ws2]
+    bot = xf[..., h - (hs // 2 - 1) :, :ws2]
+    top = top.at[..., hs // 2, :].set(0)
+    top = top.at[..., :, ws2 - 1].set(0)
+    bot = bot.at[..., :, ws2 - 1].set(0)
+    return jnp.concatenate([top, bot], axis=-2) * (1.0 / (scale * scale))
+
+
 def fftshift2(x: jnp.ndarray) -> jnp.ndarray:
     """fftshift over the last two axes.
 

@@ -254,6 +254,35 @@ def compute_keyframe_filters(
     return fi, fp
 
 
+def estimate_rotation(
+    last_polar_fft: jnp.ndarray,
+    cur_polar_fft: jnp.ndarray,
+    ops: CFOps,
+    filt_polar: jnp.ndarray | None = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Rotation stage of :func:`compute_pose` (correlation_flow.cc:103-106):
+    polar-spectrum registration → (degree, rotation PSR), with the
+    half-polar confidence rescale applied.  Shared by the full pose
+    estimate and the coarse-to-fine loop search's stage 1."""
+    cfg = ops.cfg
+    rots, info_rot = estimate_trans(
+        last_polar_fft, cur_polar_fft, r2c(ops.target_rot_fft),
+        cfg.polar_shape, cfg, filt=filt_polar,
+    )
+    # One polar row = 360/divisor degrees of rotation in BOTH modes: under
+    # half_polar the row shift lands in (−divisor/4, divisor/4] so the
+    # degree lands directly in the mod-180 representative range (−90, 90]
+    # — exactly what tracking folds to and what loop mode disambiguates.
+    degree = normalize_degree(
+        rots[..., 0] * (2.0 / cfg.rotation_divisor) * 180.0
+    )
+    if cfg.half_polar_active:
+        # Report the rotation confidence in full-grid units (see
+        # HALF_POLAR_PSR_SCALE) so reference-tuned thresholds apply.
+        info_rot = info_rot / HALF_POLAR_PSR_SCALE
+    return degree, info_rot
+
+
 def compute_pose(
     last_fft: jnp.ndarray,
     image: jnp.ndarray,
@@ -281,23 +310,12 @@ def compute_pose(
     modes trace to different XLA programs (one vs. two batched transforms).
     """
     cfg = ops.cfg
-    pshape = cfg.polar_shape
     ishape = (cfg.height, cfg.width)
     filt_img, filt_polar = filters if filters is not None else (None, None)
 
-    rots, info_rot = estimate_trans(
-        last_polar_fft, cur_polar_fft, r2c(ops.target_rot_fft), pshape, cfg,
-        filt=filt_polar,
+    degree, info_rot = estimate_rotation(
+        last_polar_fft, cur_polar_fft, ops, filt_polar
     )
-    # One polar row = 360/divisor degrees of rotation in BOTH modes: under
-    # half_polar the row shift lands in (−divisor/4, divisor/4] so the
-    # degree lands directly in the mod-180 representative range (−90, 90]
-    # — exactly what tracking folds to and what loop mode disambiguates.
-    degree = normalize_degree(rots[..., 0] * (2.0 / cfg.rotation_divisor) * 180.0)
-    if cfg.half_polar_active:
-        # Report the rotation confidence in full-grid units (see
-        # HALF_POLAR_PSR_SCALE) so reference-tuned thresholds apply.
-        info_rot = info_rot / HALF_POLAR_PSR_SCALE
 
     rotate_spec = _rotate_spectrum_fn(cfg)
     if not large_rotation:

@@ -23,7 +23,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from nislam_tpu.core.config import LoopClosureConfig
 from nislam_tpu.core.loop_closure import LoopResult, _gating_mask
-from nislam_tpu.core.map_store import KeyframeBank, grid_location
+from nislam_tpu.core.map_store import KeyframeBank, gather_slots, grid_location
 from nislam_tpu.ops.fft import r2c
 from nislam_tpu.ops.registration import CFOps, compute_pose
 
@@ -40,6 +40,7 @@ def find_loop_closure_sharded(
     grid_scale: float,
     mesh: Mesh,
     axis: str = "bank",
+    cur_fft: jnp.ndarray | None = None,
 ) -> LoopResult:
     """Sharded-bank loop search; bank arrays sharded on slot axis over
     ``axis``, everything else replicated.
@@ -49,7 +50,11 @@ def find_loop_closure_sharded(
     than the single-chip search; a ``loop_eligible > max_candidates``
     reading from this engine therefore does not necessarily mean anything
     was truncated.  Under local truncation, shard-local priority matches
-    the single-chip rule: keyframes closest to the prior pose win."""
+    the single-chip rule: keyframes closest to the prior pose win.
+
+    ``cur_fft`` is accepted for signature compatibility with
+    ``find_loop_closure`` (the single-chip coarse-to-fine path); the
+    sharded search currently always ranks at full resolution."""
     nshards = mesh.shape[axis]
     k = bank.capacity
     if k % nshards:
@@ -87,15 +92,21 @@ def find_loop_closure_sharded(
         d2 = jnp.sum((local_poses[:, :2] - prior[:2]) ** 2, axis=-1)
         _, picked_idx = jax.lax.top_k(jnp.where(eligible, -d2, -jnp.inf), c)
         picked = eligible[picked_idx]
+        # Per-slot dynamic slices, NOT arr[picked_idx]: the XLA gather
+        # lowering layout-copies the whole (shard-local) bank first
+        # (map_store.gather_slots).
         filters = (
-            (r2c(filt[picked_idx]), r2c(filt_polar[picked_idx]))
+            (
+                r2c(gather_slots(filt, picked_idx, c)),
+                r2c(gather_slots(filt_polar, picked_idx, c)),
+            )
             if filt.shape[1]
             else None
         )
         pose, info = compute_pose(
-            r2c(fft[picked_idx]),
+            r2c(gather_slots(fft, picked_idx, c)),
             image[None],
-            r2c(polar_fft[picked_idx]),
+            r2c(gather_slots(polar_fft, picked_idx, c)),
             cur_polar[None],
             cf_ops,
             large_rotation=True,

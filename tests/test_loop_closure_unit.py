@@ -126,3 +126,68 @@ def test_truncated_search_prioritizes_prior_proximity():
     assert bool(res.found)
     assert int(res.loop_slot) == 10  # proximity priority reached slot 10
     assert abs(float(res.relative_pose[0]) - 1.0) <= 1.5
+
+
+def test_coarse_fine_search_matches_exact_decision():
+    """coarse_scale=2: the coarse-ranked search picks the same candidate,
+    accepts, and reports the SAME pose/response as the exact search (the
+    winner's registration is full-resolution in both)."""
+    import dataclasses
+
+    world = make_world(512, 3.0)
+    # 4 keyframes: three distractors far in content, one true revisit.
+    poses = [(150.0, 150.0), (350.0, 150.0), (150.0, 350.0), (280.0, 262.0)]
+    bank, ops = _bank_with(
+        world, poses, [0, 10, 20, 30], [0.0, 1.0, 2.0, 3.0],
+        map_cfg=MapConfig(grid_scale=10.0, keyframe_capacity=8, edge_capacity=16),
+    )
+    img = jnp.asarray(render_frame(world, H, W, 283.0, 264.0, 0.0))
+    cur_fft, polar = compute_intermedium(img, ops)
+    base_cfg = LoopClosureConfig(
+        frame_gap_thr=0, distance_thr=0.0,
+        position_response_thr=8.0, angle_response_thr=4.0, max_candidates=8,
+    )
+    prior = jnp.asarray([(280.0 - 256.0) * 0.01, (262.0 - 256.0) * 0.01, 0.0],
+                        jnp.float32)
+    args = (bank, img, polar, jnp.asarray(100, jnp.int32),
+            jnp.asarray(9.0, jnp.float32), prior, ops)
+    exact = find_loop_closure(*args, base_cfg, 10.0, cur_fft=cur_fft)
+    coarse = find_loop_closure(
+        *args, dataclasses.replace(base_cfg, coarse_scale=2), 10.0,
+        cur_fft=cur_fft,
+    )
+    assert bool(exact.found) and bool(coarse.found)
+    assert int(coarse.loop_slot) == int(exact.loop_slot) == 3
+    np.testing.assert_allclose(
+        np.asarray(coarse.relative_pose), np.asarray(exact.relative_pose),
+        atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(coarse.response), np.asarray(exact.response), rtol=1e-5
+    )
+    assert int(coarse.eligible_count) == int(exact.eligible_count)
+
+    # cur_fft omitted: the coarse path computes it itself, same result.
+    coarse2 = find_loop_closure(
+        *args, dataclasses.replace(base_cfg, coarse_scale=2), 10.0
+    )
+    assert int(coarse2.loop_slot) == 3 and bool(coarse2.found)
+
+
+def test_spectral_crop_oracle(rng):
+    """spectral_crop == full-spectrum crop oracle (sinc downsampling)."""
+    from nislam_tpu.ops.fft import irfft2, rfft2, spectral_crop
+
+    x = rng.standard_normal((24, 32)).astype(np.float32)
+    got = np.asarray(irfft2(spectral_crop(rfft2(jnp.asarray(x)), (24, 32), 2), (12, 16)))
+    # oracle: crop the full FFT to the lowest 12x16 frequencies, zero the
+    # Nyquist row/col, inverse, scale 1/4
+    F = np.fft.fft2(x)
+    Fc = np.zeros((12, 16), complex)
+    Fc[:7, :9] = F[:7, :9]
+    Fc[7:, :9] = F[-5:, :9]
+    Fc[:, 9:] = np.conj(Fc[:, 1:8][:, ::-1])[np.r_[0, 11:0:-1], :]
+    Fc[6, :] = 0
+    Fc[:, 8] = 0
+    oracle = np.fft.ifft2(Fc).real / 4.0
+    np.testing.assert_allclose(got, oracle, atol=1e-5)
