@@ -33,7 +33,7 @@ from nislam_tpu.core.config import LoopClosureConfig
 from nislam_tpu.core.map_store import (
     KeyframeBank,
     frames_in_neighborhood,
-    gather_slots,
+    gather_slots_c2r,
 )
 from nislam_tpu.ops.fft import impulse_spectrum_pair, irfft2, r2c, rfft2, spectral_crop
 from nislam_tpu.ops.registration import (
@@ -198,15 +198,18 @@ def _batched_search(
     _, slots = jax.lax.top_k(score, c)
     picked = eligible[slots]  # (C,) — False where top_k padded with ineligible
 
-    # Gather in float-pair form (backend-portable), then view as complex.
-    # Per-slot dynamic slices, NOT arr[slots]: the XLA gather lowering
-    # layout-copies the whole bank first (see map_store.gather_slots).
-    zf = r2c(gather_slots(bank.fft, slots, c))  # (C, H, W2)
-    zp = r2c(gather_slots(bank.polar_fft, slots, c))  # (C, D, C2)
+    # Gather per-slot with dynamic slices of the flat row store and upcast
+    # per slice, NOT r2c(arr[slots]): the XLA gather lowering layout-copies
+    # the whole bank first (see map_store.gather_slots_c2r).
+    cf = cf_ops.cfg
+    ish = (cf.height, cf.width // 2 + 1)
+    psh = (cf.polar_shape[0], cf.polar_shape[1] // 2 + 1)
+    zf = gather_slots_c2r(bank.fft, slots, c, ish)  # (C, H, W2)
+    zp = gather_slots_c2r(bank.polar_fft, slots, c, psh)  # (C, D, C2)
     filters = (
         (
-            r2c(gather_slots(bank.filt, slots, c)),
-            r2c(gather_slots(bank.filt_polar, slots, c)),
+            gather_slots_c2r(bank.filt, slots, c, ish),
+            gather_slots_c2r(bank.filt_polar, slots, c, psh),
         )
         if bank.filt.shape[1]
         else None  # cache_filters off: recompute Kzz per candidate

@@ -55,16 +55,23 @@ class KeyframeBank:
     ``_depth_fft_result`` is intentionally absent (SURVEY §2 #3).
     """
 
-    # Spectra live as float pairs (..., 2) = (re, im) — ops.fft.c2r — so the
+    # Spectra live as float pairs (re, im innermost) — ops.fft.c2r — so the
     # bank supports gather/scatter and host transfer on every backend; r2c
     # happens at the point of use inside the consuming program.
-    fft: jnp.ndarray  # (K, H, W//2+1, 2) f32 — image spectra
-    polar_fft: jnp.ndarray  # (K, D, C//2+1, 2) f32 — polar spectra
+    #
+    # (A flat (K, N) row store was tried in r5 to kill a residual
+    # whole-bank layout copy on the candidate-slice path — and REVERTED:
+    # 2-D puts K in the (8, 128) tile's sublane dimension, making every
+    # row op strided; flagship throughput dropped 3×.  The 4-D layout
+    # keeps K purely major; the remaining per-search bank layout copy is
+    # ~2% of HD frame time and accepted.)
+    fft: jnp.ndarray  # (K, H, W//2+1, 2) — image spectra
+    polar_fft: jnp.ndarray  # (K, D, C//2+1, 2) — polar spectra
     # Cached correlation filters H = target/(Kzz+λ) (ops.registration.
     # keyframe_filter): computed once at insertion instead of per
     # registration — the reference recomputes Kzz on every EstimateTrans.
-    filt: jnp.ndarray  # (K, H, W//2+1, 2) f32
-    filt_polar: jnp.ndarray  # (K, D, C//2+1, 2) f32
+    filt: jnp.ndarray  # (K, H, W//2+1, 2) or (K, 0, 0, 2)
+    filt_polar: jnp.ndarray  # (K, D, C//2+1, 2) or (K, 0, 0, 2)
     images: jnp.ndarray  # (K, H, W) f32 — raw frames (for the stitcher), or (K,0,0)
     poses: jnp.ndarray  # (K, 3) f32 — robot-frame (x, y, θ), optimized in place
     grid_xy: jnp.ndarray  # (K, 2) i32 — spatial-hash cell captured at insertion
@@ -168,6 +175,32 @@ def gather_slots(arr: jnp.ndarray, slots: jnp.ndarray, c: int) -> jnp.ndarray:
         for i in range(c)
     ]
     return jnp.concatenate(parts, axis=0)
+
+
+def gather_slots_c2r(
+    arr: jnp.ndarray,
+    slots: jnp.ndarray,
+    c: int,
+    shape: tuple[int, int],
+) -> jnp.ndarray:
+    """Gather ``c`` spectral bank slots → complex64 ``(c, *shape)``.
+
+    Per-slot dynamic slices (see :func:`gather_slots`) with the f32
+    upcast applied PER SLICE — converting after concatenation lets XLA
+    hoist the layout conversion onto the whole bank (profiled: ~1 GB
+    copy per search at HD).  ``shape`` documents/asserts the per-slot
+    spectrum shape ``(rows, cols)``.
+    """
+    from nislam_tpu.ops.fft import r2c
+
+    assert arr.shape[1:] == (*shape, 2), (arr.shape, shape)
+    parts = [
+        jax.lax.dynamic_slice_in_dim(arr, slots[i], 1, axis=0).astype(
+            jnp.float32
+        )
+        for i in range(c)
+    ]
+    return r2c(jnp.concatenate(parts, axis=0))
 
 
 def grid_location(xy: jnp.ndarray, grid_scale: float) -> jnp.ndarray:

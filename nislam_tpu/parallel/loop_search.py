@@ -23,8 +23,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from nislam_tpu.core.config import LoopClosureConfig
 from nislam_tpu.core.loop_closure import LoopResult, _gating_mask
-from nislam_tpu.core.map_store import KeyframeBank, gather_slots, grid_location
-from nislam_tpu.ops.fft import r2c
+from nislam_tpu.core.map_store import KeyframeBank, gather_slots_c2r, grid_location
 from nislam_tpu.ops.registration import CFOps, compute_pose
 
 
@@ -92,21 +91,24 @@ def find_loop_closure_sharded(
         d2 = jnp.sum((local_poses[:, :2] - prior[:2]) ** 2, axis=-1)
         _, picked_idx = jax.lax.top_k(jnp.where(eligible, -d2, -jnp.inf), c)
         picked = eligible[picked_idx]
-        # Per-slot dynamic slices, NOT arr[picked_idx]: the XLA gather
-        # lowering layout-copies the whole (shard-local) bank first
-        # (map_store.gather_slots).
+        # Per-slot dynamic slices of the flat row store, NOT
+        # arr[picked_idx]: the XLA gather lowering layout-copies the whole
+        # (shard-local) bank first (map_store.gather_slots_c2r).
+        cfd = cf_ops.cfg
+        ish = (cfd.height, cfd.width // 2 + 1)
+        psh = (cfd.polar_shape[0], cfd.polar_shape[1] // 2 + 1)
         filters = (
             (
-                r2c(gather_slots(filt, picked_idx, c)),
-                r2c(gather_slots(filt_polar, picked_idx, c)),
+                gather_slots_c2r(filt, picked_idx, c, ish),
+                gather_slots_c2r(filt_polar, picked_idx, c, psh),
             )
             if filt.shape[1]
             else None
         )
         pose, info = compute_pose(
-            r2c(gather_slots(fft, picked_idx, c)),
+            gather_slots_c2r(fft, picked_idx, c, ish),
             image[None],
-            r2c(gather_slots(polar_fft, picked_idx, c)),
+            gather_slots_c2r(polar_fft, picked_idx, c, psh),
             cur_polar[None],
             cf_ops,
             large_rotation=True,
