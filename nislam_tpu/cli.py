@@ -47,6 +47,19 @@ def _add_run_args(p: argparse.ArgumentParser) -> None:
         "--profile", default=None, metavar="DIR",
         help="capture a jax.profiler trace of the run into DIR (TensorBoard)",
     )
+    p.add_argument(
+        "--nisf", default=None, metavar="PATH",
+        help="stream frames from a packed NISF file through the native "
+        "C++ prefetch loader (io.native_loader) instead of decoding "
+        "images in Python; 'auto' (the default) uses DATAROOT/frames.nisf "
+        "when present and the loader builds; 'off' disables",
+    )
+    p.add_argument(
+        "--snapshot-every", type=int, default=0, metavar="N",
+        help="in step mode: save trajectory/occupancy snapshot PNGs to "
+        "saving_root every N frames (the reference publishes live ROS "
+        "topics per frame, visualization.cc:15-32; 0 disables)",
+    )
 
 
 def cmd_run(args: argparse.Namespace) -> int:
@@ -92,9 +105,39 @@ def cmd_run(args: argparse.Namespace) -> int:
     mid_run_solves = 0
     all_times: List[float] = []
     outs_list = []
+
+    # Input source: the native NISF prefetch reader (C++ mmap + prefetch
+    # threads, io.native_loader) when a packed file is available — the
+    # high-throughput replacement for the reference's per-frame imread
+    # (/root/reference/src/dataset.cc:38-46) — else the Python dataset.
+    nisf_path = None
+    if args.nisf not in ("off",):
+        cand = args.nisf if args.nisf not in (None, "auto") else os.path.join(
+            dataroot, "frames.nisf"
+        )
+        if os.path.exists(cand):
+            from nislam_tpu.io.native_loader import NativeChunkReader
+
+            if NativeChunkReader.available():
+                nisf_path = cand
+            elif args.nisf not in (None, "auto"):
+                print(
+                    "WARNING: --nisf given but libnisf_loader.so unavailable; "
+                    "falling back to the Python dataset reader"
+                )
+        elif args.nisf not in (None, "auto"):
+            print(f"WARNING: NISF file {cand} not found; using Python reader")
+
     t_start = time.time()
     prof_ctx.__enter__()
     if args.mode == "step":
+        snap = None
+        if args.snapshot_every:
+            from nislam_tpu.io.visualization import RunSnapshotter
+
+            snap = RunSnapshotter(
+                args.saving_root or config.saving.saving_root, engine, config
+            )
         for i in range(n):
             img, ts = dataset.get(i)
             all_times.append(ts)
@@ -109,22 +152,35 @@ def cmd_run(args: argparse.Namespace) -> int:
             outs_list.append(out)
             if out.inserted:
                 print("Insert a keyframe !")
+            if snap is not None and (i + 1) % args.snapshot_every == 0:
+                snap.emit(state, outs_list, i + 1)
         outs = jax.tree.map(lambda *xs: np.stack(xs), *outs_list)
     else:
-        chunks = []
-        done = 0
-        for images, ts in dataset.chunks(args.chunk):
-            if done >= n:
-                break
-            images, ts = images[: n - done], ts[: n - done]
-            all_times.extend(ts.tolist())
-            state, out = engine.run_chunk(state, jnp.asarray(images))
-            if deferred:
-                state, ran_mid = engine.optimize(state)
-                mid_run_solves += int(ran_mid)
-            chunks.append(jax.tree.map(np.asarray, out))
-            done += len(images)
-        outs = jax.tree.map(lambda *xs: np.concatenate(xs), *chunks)
+        # One shared streaming driver (core.slam.streamed_deferred_drive):
+        # full chunks + masked tail share at most two compiled programs
+        # (no tail retrace), chunk i+1's read + host→device transfer
+        # overlap chunk i's scan, and the per-chunk optimize trigger runs
+        # at the same cadence as the array driver the engines use.
+        from nislam_tpu.core.slam import streamed_deferred_drive
+
+        if nisf_path is not None:
+            from nislam_tpu.io.native_loader import NativeChunkReader
+
+            reader = NativeChunkReader(nisf_path, args.chunk)
+            n = min(n, len(reader))
+            print(f"native loader: {nisf_path} ({len(reader)} frames)")
+            chunk_iter = iter(reader)
+        else:
+            # raw=True ships uint8 when the source is 8-bit (4× fewer
+            # host→device bytes; the engine normalizes /255 on device).
+            chunk_iter = dataset.chunks(args.chunk, raw=True)
+        state, outs, times_arr, ran_flags = streamed_deferred_drive(
+            engine, state, chunk_iter,
+            chunk_frames=args.chunk, max_frames=n,
+            between_chunk_optimize=deferred,
+        )
+        all_times = times_arr.tolist()
+        mid_run_solves = int(sum(int(np.asarray(r)) for r in ran_flags))
     state, ran = engine.finalize(state)
     prof_ctx.__exit__(None, None, None)
     if args.profile:
@@ -261,14 +317,28 @@ def cmd_eval(args: argparse.Namespace) -> int:
     n = len(dataset)
     if args.max_frames:
         n = min(n, args.max_frames)
-    images, times = [], []
-    for chunk, ts in dataset.chunks(64):
-        images.append(chunk)
-        times.extend(ts.tolist())
-        if sum(len(c) for c in images) >= n:
-            break
-    images = np.concatenate(images)[:n]
-    times = np.asarray(times[:n])
+    # Prefer the packed NISF file (native mmap reader, no image decode;
+    # u8 frames transfer 4× cheaper and normalize on device).
+    images = None
+    nisf = os.path.join(dataroot, "frames.nisf")
+    if os.path.exists(nisf):
+        from nislam_tpu.io.native_loader import NativeChunkReader
+
+        if NativeChunkReader.available():
+            r = NativeChunkReader(nisf, chunk=max(64, n))
+            pairs = list(iter(r))
+            images = np.concatenate([p[0] for p in pairs])[:n]
+            times = np.concatenate([p[1] for p in pairs])[:n]
+            r.close()
+    if images is None:
+        chunks_l, times_l = [], []
+        for chunk, ts in dataset.chunks(64, raw=True):
+            chunks_l.append(chunk)
+            times_l.extend(ts.tolist())
+            if sum(len(c) for c in chunks_l) >= n:
+                break
+        images = np.concatenate(chunks_l)[:n]
+        times = np.asarray(times_l[:n])
     gt_xy, gt_t = None, None
     if args.groundtruth:
         gt_t, gt_xy = read_tum(args.groundtruth)
@@ -308,6 +378,25 @@ def main(argv=None) -> int:
         import jax
 
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    # Persistent compilation cache (same as bench.py): the scan programs
+    # are large and some backends compile them remotely (minutes); cache
+    # hits make repeat CLI runs start in seconds.
+    try:
+        import jax
+
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.environ.get(
+                "NISLAM_JAX_CACHE",
+                os.path.join(
+                    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                    ".jax_cache",
+                ),
+            ),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5)
+    except Exception:
+        pass
     parser = argparse.ArgumentParser(prog="nislam_tpu")
     sub = parser.add_subparsers(dest="cmd", required=True)
     run_p = sub.add_parser("run", help="run SLAM over a dataset (main.cpp parity)")

@@ -27,26 +27,31 @@ from typing import Iterator, List, Optional, Sequence, Tuple
 import numpy as np
 
 
-def _imread_gray(path: str) -> np.ndarray:
-    """Grayscale float32 [0,1] image via cv2, PIL, or raw PGM fallback."""
+def _imread_gray_u8(path: str) -> np.ndarray:
+    """Grayscale uint8 image via cv2 or PIL."""
     try:
         import cv2
 
         img = cv2.imread(path, cv2.IMREAD_GRAYSCALE)
         if img is None:
             raise FileNotFoundError(path)
-        return img.astype(np.float32) / 255.0
+        return img
     except ImportError:
         pass
     try:
         from PIL import Image
 
         with Image.open(path) as im:
-            return np.asarray(im.convert("L"), np.float32) / 255.0
+            return np.asarray(im.convert("L"), np.uint8)
     except ImportError as exc:
         raise RuntimeError(
             f"no image backend (cv2/PIL) available to read {path}"
         ) from exc
+
+
+def _imread_gray(path: str) -> np.ndarray:
+    """Grayscale float32 [0,1] image."""
+    return _imread_gray_u8(path).astype(np.float32) / 255.0
 
 
 class _Base:
@@ -57,17 +62,28 @@ class _Base:
         """Returns (image f32 [0,1] of shape (H, W), timestamp or −1.0)."""
         raise NotImplementedError
 
+    def get_raw(self, idx: int) -> Tuple[np.ndarray, float]:
+        """Like :meth:`get` but in the source's native dtype: uint8 for
+        8-bit image files (the engine normalizes /255 on device — 4× fewer
+        host→device bytes, bit-identical results), f32 for float sources.
+        Default: the f32 path."""
+        return self.get(idx)
+
     def __iter__(self) -> Iterator[Tuple[np.ndarray, float]]:
         for i in range(len(self)):
             yield self.get(i)
 
-    def chunks(self, size: int) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+    def chunks(
+        self, size: int, raw: bool = False
+    ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
         """Yield (images (N≤size, H, W), times (N,)) stacked chunks — the
-        unit the ``lax.scan`` driver consumes."""
+        unit the ``lax.scan`` driver consumes.  ``raw=True`` serves the
+        source dtype (see :meth:`get_raw`)."""
+        getter = self.get_raw if raw else self.get
         n = len(self)
         for start in range(0, n, size):
             idx = range(start, min(start + size, n))
-            pairs = [self.get(i) for i in idx]
+            pairs = [getter(i) for i in idx]
             yield (
                 np.stack([p[0] for p in pairs]),
                 np.asarray([p[1] for p in pairs], np.float64),
@@ -77,21 +93,27 @@ class _Base:
         """Write the packed binary format of the native loader
         (see nislam_tpu/native/loader.cc): little-endian header
         ``magic 'NISF' | u32 version | u32 n | u32 h | u32 w`` followed by
-        n float64 timestamps and n raw f32 (H, W) frames."""
+        n float64 timestamps and n raw (H, W) frames — version 2 / uint8
+        when the source is 8-bit (4× smaller file AND 4× fewer
+        host→device bytes at read time; the engine normalizes on device),
+        version 1 / f32 for float sources (synthetic worlds)."""
         import struct
 
-        img0, _ = self.get(0)
+        img0, _ = self.get_raw(0)
+        u8 = img0.dtype == np.uint8
         h, w = img0.shape
         n = len(self)
         with open(out_path, "wb") as f:
-            f.write(struct.pack("<4sIIII", b"NISF", 1, n, h, w))
-            times = np.asarray([self.get(i)[1] for i in range(n)], "<f8")
+            f.write(struct.pack("<4sIIII", b"NISF", 2 if u8 else 1, n, h, w))
+            times = np.asarray([self.get_raw(i)[1] for i in range(n)], "<f8")
             f.write(times.tobytes())
             for i in range(n):
-                img, _ = self.get(i)
+                img, _ = self.get_raw(i)
                 if img.shape != (h, w):
                     raise ValueError(f"frame {i} shape {img.shape} != {(h, w)}")
-                f.write(img.astype("<f4").tobytes())
+                f.write(
+                    img.tobytes() if u8 else img.astype("<f4").tobytes()
+                )
         return out_path
 
 
@@ -123,6 +145,11 @@ class ImageFolderDataset(_Base):
         t = self.times[idx] if idx < len(self.times) else -1.0
         return img, t
 
+    def get_raw(self, idx: int) -> Tuple[np.ndarray, float]:
+        img = _imread_gray_u8(os.path.join(self.image_dir, self.names[idx]))
+        t = self.times[idx] if idx < len(self.times) else -1.0
+        return img, t
+
 
 class TumRgbdDataset(_Base):
     """TUM RGB-D benchmark layout: ``rgb.txt`` lines ``timestamp path``."""
@@ -144,6 +171,10 @@ class TumRgbdDataset(_Base):
     def get(self, idx: int) -> Tuple[np.ndarray, float]:
         t, rel = self.entries[idx]
         return _imread_gray(os.path.join(self.root, rel)), t
+
+    def get_raw(self, idx: int) -> Tuple[np.ndarray, float]:
+        t, rel = self.entries[idx]
+        return _imread_gray_u8(os.path.join(self.root, rel)), t
 
 
 class SyntheticDataset(_Base):

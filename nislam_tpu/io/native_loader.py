@@ -50,7 +50,9 @@ def _load_lib() -> Optional[ctypes.CDLL]:
     lib.nisf_info.argtypes = [ctypes.c_void_p] + [ctypes.POINTER(ctypes.c_int64)] * 3
     lib.nisf_timestamps.restype = ctypes.POINTER(ctypes.c_double)
     lib.nisf_timestamps.argtypes = [ctypes.c_void_p]
-    lib.nisf_frame.restype = ctypes.POINTER(ctypes.c_float)
+    lib.nisf_elem_size.restype = ctypes.c_int64
+    lib.nisf_elem_size.argtypes = [ctypes.c_void_p]
+    lib.nisf_frame.restype = ctypes.c_void_p
     lib.nisf_frame.argtypes = [ctypes.c_void_p, ctypes.c_int64]
     lib.nisf_start_prefetch.restype = ctypes.c_int
     lib.nisf_start_prefetch.argtypes = [
@@ -59,7 +61,7 @@ def _load_lib() -> Optional[ctypes.CDLL]:
     lib.nisf_next_chunk.restype = ctypes.c_int64
     lib.nisf_next_chunk.argtypes = [
         ctypes.c_void_p,
-        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_void_p,
         ctypes.POINTER(ctypes.c_double),
     ]
     lib.nisf_close.argtypes = [ctypes.c_void_p]
@@ -68,7 +70,11 @@ def _load_lib() -> Optional[ctypes.CDLL]:
 
 
 class NativeChunkReader:
-    """Iterate (frames (N≤chunk, H, W) f32, times (N,) f64) chunks."""
+    """Iterate (frames (N≤chunk, H, W), times (N,) f64) chunks.
+
+    Frames come in the file's stored dtype (:attr:`dtype`): uint8 for
+    NISF v2 (8-bit sources — ship raw over the host→device link, the
+    engine normalizes /255 on device) or f32 for v1."""
 
     def __init__(self, path: str, chunk: int, *, threads: int = 2, ring: int = 4):
         lib = _load_lib()
@@ -86,6 +92,9 @@ class NativeChunkReader:
         ww = ctypes.c_int64()
         lib.nisf_info(self._h, ctypes.byref(n), ctypes.byref(hh), ctypes.byref(ww))
         self.n, self.height, self.width = n.value, hh.value, ww.value
+        self.dtype = (
+            np.uint8 if lib.nisf_elem_size(self._h) == 1 else np.float32
+        )
         self.chunk = chunk
         if lib.nisf_start_prefetch(self._h, chunk, threads, ring) != 0:
             raise RuntimeError("prefetch start failed")
@@ -98,12 +107,12 @@ class NativeChunkReader:
         return self.n
 
     def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
-        buf = np.empty((self.chunk, self.height, self.width), np.float32)
+        buf = np.empty((self.chunk, self.height, self.width), self.dtype)
         tbuf = np.empty((self.chunk,), np.float64)
         while True:
             got = self._lib.nisf_next_chunk(
                 self._h,
-                buf.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+                buf.ctypes.data_as(ctypes.c_void_p),
                 tbuf.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
             )
             if got <= 0:
@@ -111,11 +120,15 @@ class NativeChunkReader:
             yield buf[:got].copy(), tbuf[:got].copy()
 
     def frame(self, idx: int) -> np.ndarray:
-        """Zero-copy single-frame view into the mmap."""
+        """Zero-copy single-frame view into the mmap (stored dtype)."""
         ptr = self._lib.nisf_frame(self._h, idx)
         if not ptr:
             raise IndexError(idx)
-        return np.ctypeslib.as_array(ptr, shape=(self.height, self.width))
+        ctype = ctypes.c_uint8 if self.dtype == np.uint8 else ctypes.c_float
+        return np.ctypeslib.as_array(
+            ctypes.cast(ptr, ctypes.POINTER(ctype)),
+            shape=(self.height, self.width),
+        )
 
     def timestamps(self) -> np.ndarray:
         ptr = self._lib.nisf_timestamps(self._h)

@@ -124,7 +124,14 @@ extrinsics:
         width, height, rotation_divisor, rotation_channel
     )
     max_distance = 2.0 * step_px * px_scale
-    grid_scale = 0.3 * height * px_scale  # ≤ H/2 px: aliasing-safe (see tests)
+    # Spatial-hash cell: at least 0.3·H px (aliasing-safe, see tests), but
+    # also ≥2% of the total path length — the odometry drift accumulated
+    # before a long loop closes must still land the prior pose within the
+    # 3×3 neighborhood of the revisited keyframes (measured r5: a 512-frame
+    # 640×480 lap drifts ~0.2-0.4 m; a 0.225 m cell then finds ZERO loops
+    # and ATE is pure VO drift, a 0.9 m cell finds 8 and ATE drops 11×).
+    path_len = n_frames * step_px * px_scale
+    grid_scale = max(0.3 * height * px_scale, 0.02 * path_len)
     cfg_yaml = os.path.join(out_dir, "config.yaml")
     with open(cfg_yaml, "w") as f:
         f.write(

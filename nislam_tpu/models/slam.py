@@ -164,7 +164,9 @@ class FullSlam:
             tracked_frac=float(outs.tracked.mean()),
             keyframes=int(np.asarray(state.bank.count)),
             loops=int(outs.loop_found.sum()),
-            solves=int(outs.optimized.sum()) + sum(tally) + int(_ran),
+            solves=int(outs.optimized.sum())
+            + sum(int(np.asarray(r)) for r in tally)
+            + int(_ran),
             keyframe_trajectory=traj,
         )
 

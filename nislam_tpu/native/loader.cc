@@ -4,8 +4,11 @@
 // TPU-native replacement for the reference's per-frame cv::imread disk I/O
 // (/root/reference/src/dataset.cc:38-46), which decodes PNGs synchronously
 // on the hot path.  Here datasets are packed once into a raw binary
-// ("NISF": header + f64 timestamps + contiguous f32 frames — written by
-// nislam_tpu.io.dataset.pack()) and served as device-feedable chunks:
+// ("NISF": header + f64 timestamps + contiguous frames — written by
+// nislam_tpu.io.dataset.pack(); version 1 = f32 frames, version 2 = raw
+// uint8 frames, 4x smaller on disk and over the host->device link, with
+// the /255 normalization done on-device) and served as device-feedable
+// chunks:
 //
 //   - the file is mmap'ed; frames are never copied until a chunk is staged,
 //   - a pool of prefetch threads walks ahead of the consumer, faulting
@@ -43,7 +46,7 @@ struct Header {
 } __attribute__((packed));
 
 struct Slot {
-  std::vector<float> data;     // chunk_frames * h * w
+  std::vector<uint8_t> data;   // chunk_frames * frame_bytes
   int64_t chunk_idx = -1;      // which chunk is staged here
   int64_t n_frames = 0;        // valid frames in this chunk
   std::atomic<bool> ready{false};
@@ -54,8 +57,9 @@ struct Loader {
   const uint8_t* map = nullptr;
   size_t map_size = 0;
   Header hdr{};
+  size_t elem = 4;  // bytes per pixel: 4 (v1 f32) or 1 (v2 u8)
   const double* times = nullptr;
-  const float* frames = nullptr;  // n * h * w
+  const uint8_t* frames = nullptr;  // n * h * w * elem bytes
 
   // prefetch state
   int64_t chunk_frames = 0;
@@ -70,6 +74,7 @@ struct Loader {
   std::atomic<bool> stop{false};
 
   size_t frame_elems() const { return size_t(hdr.h) * hdr.w; }
+  size_t frame_bytes() const { return frame_elems() * elem; }
 };
 
 void stage_loop(Loader* L) {
@@ -91,11 +96,11 @@ void stage_loop(Loader* L) {
     const int64_t begin = c * L->chunk_frames;
     const int64_t count =
         std::min<int64_t>(L->chunk_frames, int64_t(L->hdr.n) - begin);
-    const float* src = L->frames + begin * L->frame_elems();
-    const size_t bytes = size_t(count) * L->frame_elems() * sizeof(float);
+    const uint8_t* src = L->frames + begin * L->frame_bytes();
+    const size_t bytes = size_t(count) * L->frame_bytes();
     // Hint the kernel, then touch via memcpy into the staging slot: after
     // this the consumer's copy to the device buffer hits page cache + RAM.
-    madvise(const_cast<float*>(src), bytes, MADV_WILLNEED);
+    madvise(const_cast<uint8_t*>(src), bytes, MADV_WILLNEED);
     std::memcpy(slot.data.data(), src, bytes);
     slot.n_frames = count;
     {
@@ -132,14 +137,16 @@ void* nisf_open(const char* path) {
     return nullptr;
   }
   std::memcpy(&L->hdr, L->map, sizeof(Header));
-  if (L->hdr.magic != kMagic || L->hdr.version != 1) {
+  if (L->hdr.magic != kMagic ||
+      (L->hdr.version != 1 && L->hdr.version != 2)) {
     munmap(const_cast<uint8_t*>(L->map), L->map_size);
     close(L->fd);
     delete L;
     return nullptr;
   }
+  L->elem = (L->hdr.version == 2) ? 1 : sizeof(float);
   const size_t expect = sizeof(Header) + size_t(L->hdr.n) * sizeof(double) +
-                        size_t(L->hdr.n) * L->hdr.h * L->hdr.w * sizeof(float);
+                        size_t(L->hdr.n) * L->hdr.h * L->hdr.w * L->elem;
   if (L->map_size < expect) {
     munmap(const_cast<uint8_t*>(L->map), L->map_size);
     close(L->fd);
@@ -147,8 +154,7 @@ void* nisf_open(const char* path) {
     return nullptr;
   }
   L->times = reinterpret_cast<const double*>(L->map + sizeof(Header));
-  L->frames =
-      reinterpret_cast<const float*>(L->map + sizeof(Header) + size_t(L->hdr.n) * sizeof(double));
+  L->frames = L->map + sizeof(Header) + size_t(L->hdr.n) * sizeof(double);
   return L;
 }
 
@@ -163,11 +169,16 @@ const double* nisf_timestamps(void* h) {
   return static_cast<Loader*>(h)->times;
 }
 
+// Bytes per pixel of the stored frames: 4 (v1 f32) or 1 (v2 u8).
+int64_t nisf_elem_size(void* h) {
+  return int64_t(static_cast<Loader*>(h)->elem);
+}
+
 // Direct zero-copy access to one frame (no prefetch machinery).
-const float* nisf_frame(void* h, int64_t idx) {
+const void* nisf_frame(void* h, int64_t idx) {
   Loader* L = static_cast<Loader*>(h);
   if (idx < 0 || idx >= int64_t(L->hdr.n)) return nullptr;
-  return L->frames + size_t(idx) * L->frame_elems();
+  return L->frames + size_t(idx) * L->frame_bytes();
 }
 
 // Start background staging: `chunk_frames` frames per chunk, `n_threads`
@@ -180,7 +191,7 @@ int nisf_start_prefetch(void* h, int64_t chunk_frames, int n_threads,
   L->n_chunks = (int64_t(L->hdr.n) + chunk_frames - 1) / chunk_frames;
   L->ring = std::vector<Slot>(std::min<int64_t>(ring_slots, L->n_chunks));
   for (auto& s : L->ring)
-    s.data.resize(size_t(chunk_frames) * L->frame_elems());
+    s.data.resize(size_t(chunk_frames) * L->frame_bytes());
   L->next_to_stage.store(0);
   L->next_to_consume = 0;
   L->stop.store(false);
@@ -192,7 +203,7 @@ int nisf_start_prefetch(void* h, int64_t chunk_frames, int n_threads,
 
 // Blocking: wait for the next in-order chunk, copy it to dst, release the
 // slot.  Returns the number of frames copied (0 at end of dataset).
-int64_t nisf_next_chunk(void* h, float* dst, double* ts_dst) {
+int64_t nisf_next_chunk(void* h, void* dst, double* ts_dst) {
   Loader* L = static_cast<Loader*>(h);
   if (L->next_to_consume >= L->n_chunks) return 0;
   const int64_t c = L->next_to_consume;
@@ -205,8 +216,7 @@ int64_t nisf_next_chunk(void* h, float* dst, double* ts_dst) {
     if (L->stop.load()) return -1;
   }
   const int64_t count = slot.n_frames;
-  std::memcpy(dst, slot.data.data(),
-              size_t(count) * L->frame_elems() * sizeof(float));
+  std::memcpy(dst, slot.data.data(), size_t(count) * L->frame_bytes());
   if (ts_dst)
     std::memcpy(ts_dst, L->times + c * L->chunk_frames,
                 size_t(count) * sizeof(double));
