@@ -138,15 +138,22 @@ def cmd_run(args: argparse.Namespace) -> int:
             snap = RunSnapshotter(
                 args.saving_root or config.saving.saving_root, engine, config
             )
+        from nislam_tpu.core.slam import unpack_step_output
+
+        step_ran_flags = []
         for i in range(n):
-            img, ts = dataset.get(i)
+            img, ts = dataset.get_raw(i)  # u8 when 8-bit: 4× fewer upload bytes
             all_times.append(ts)
             t1 = time.time()
-            state, out = engine.step(state, jnp.asarray(img))
+            # Packed single-vector output: ONE small device→host readback
+            # per frame instead of one per StepOutput field (each readback
+            # is a full host round trip — measured dominant in step-mode
+            # latency, scripts/stepbench.py).
+            state, packed = engine.step_packed(state, jnp.asarray(img))
             if deferred:
                 state, ran_mid = engine.optimize(state)
-                mid_run_solves += int(ran_mid)
-            out = jax.tree.map(np.asarray, out)  # sync
+                step_ran_flags.append(ran_mid)  # device scalar; sum after
+            out = unpack_step_output(packed)  # fence
             t2 = time.time()
             print(f"{i}: processing for one frame is {1e3 * (t2 - t1):.2f}ms")
             outs_list.append(out)
@@ -155,6 +162,7 @@ def cmd_run(args: argparse.Namespace) -> int:
             if snap is not None and (i + 1) % args.snapshot_every == 0:
                 snap.emit(state, outs_list, i + 1)
         outs = jax.tree.map(lambda *xs: np.stack(xs), *outs_list)
+        mid_run_solves += int(sum(int(np.asarray(r)) for r in step_ran_flags))
     else:
         # One shared streaming driver (core.slam.streamed_deferred_drive):
         # full chunks + masked tail share at most two compiled programs

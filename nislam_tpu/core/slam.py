@@ -130,6 +130,51 @@ class StepOutput(NamedTuple):
     # values > max_candidates mean the search truncated (CLI warns).
     loop_eligible: jnp.ndarray  # () i32
 
+    def pack(self) -> jnp.ndarray:
+        """All fields as ONE (..., 17) f32 vector — the low-latency
+        step-mode transfer format: fetching the NamedTuple leaf-by-leaf
+        costs ~11 host round-trips per frame (measured dominant at
+        step-mode latency on the tunneled bench TPU, scripts/stepbench.py);
+        one packed vector costs one.  Integer ids fit f32 exactly below
+        2^24 frames/slots.  Inverse: :func:`unpack_step_output`."""
+        f = lambda x: jnp.asarray(x, jnp.float32)
+        return jnp.stack(
+            [
+                f(self.tracked), f(self.inserted), f(self.loop_found),
+                f(self.optimized),
+                f(self.response[..., 0]), f(self.response[..., 1]),
+                f(self.response[..., 2]),
+                f(self.cf_pose[..., 0]), f(self.cf_pose[..., 1]),
+                f(self.cf_pose[..., 2]),
+                f(self.pose[..., 0]), f(self.pose[..., 1]),
+                f(self.pose[..., 2]),
+                f(self.frame_id), f(self.keyframe_slot), f(self.loop_slot),
+                f(self.loop_eligible),
+            ],
+            axis=-1,
+        )
+
+
+def unpack_step_output(v) -> StepOutput:
+    """Inverse of :meth:`StepOutput.pack` (host side, numpy-friendly)."""
+    import numpy as np
+
+    v = np.asarray(v)
+    i = lambda x: x.astype(np.int32)
+    return StepOutput(
+        tracked=v[..., 0] > 0.5,
+        inserted=v[..., 1] > 0.5,
+        loop_found=v[..., 2] > 0.5,
+        optimized=v[..., 3] > 0.5,
+        response=v[..., 4:7],
+        cf_pose=v[..., 7:10],
+        pose=v[..., 10:13],
+        frame_id=i(v[..., 13]),
+        keyframe_slot=i(v[..., 14]),
+        loop_slot=i(v[..., 15]),
+        loop_eligible=i(v[..., 16]),
+    )
+
 
 @dataclasses.dataclass(frozen=True)
 class SlamEngine:
@@ -163,6 +208,26 @@ class SlamEngine:
                 state, image, config=config, cf_ops=cf_ops, camera=camera,
                 defer_optimize=defer,
             )
+
+        return lambda state, image: fn(state, image, self.cf_ops, self.camera)
+
+    @functools.cached_property
+    def step_packed(self):
+        """:attr:`step` with the output packed to ONE (17,) f32 vector
+        inside the program — the live/robot deployment shape: one dispatch,
+        one small device→host transfer per frame (see StepOutput.pack).
+        With ``optimizer.inline`` the pose-graph trigger is already in the
+        program, so a full real-time frame is exactly one round trip."""
+        config = self.config
+        defer = not config.optimizer.inline
+
+        @functools.partial(jax.jit, donate_argnums=0)
+        def fn(state, image, cf_ops, camera):
+            state, out = slam_step(
+                state, image, config=config, cf_ops=cf_ops, camera=camera,
+                defer_optimize=defer,
+            )
+            return state, out.pack()
 
         return lambda state, image: fn(state, image, self.cf_ops, self.camera)
 

@@ -486,3 +486,42 @@ def test_full_polar_fallback_tracks(world):
     slots = outs.keyframe_slot[idx]
     err = np.linalg.norm(np.asarray(state.bank.poses)[slots][:, :2] - gt[idx], axis=1)
     assert err.mean() < 0.12
+
+
+def test_step_packed_roundtrip():
+    """engine.step_packed == engine.step with the output packed: the (17,)
+    vector unpacks to the exact StepOutput (low-latency live mode)."""
+    import dataclasses
+
+    import jax
+
+    from nislam_tpu.core.config import CFConfig, CameraConfig, SlamConfig
+    from nislam_tpu.core.slam import make_engine, unpack_step_output
+
+    h, w = 96, 128
+    cfg = SlamConfig(
+        cf=CFConfig(width=w, height=h, rotation_divisor=90, rotation_channel=48),
+        camera=CameraConfig(
+            image_width=w, image_height=h, height=1.0,
+            intrinsics=(float(w), w / 2.0, float(w), h / 2.0),
+        ),
+    )
+    from nislam_tpu.utils.synthetic import make_world, render_frame
+
+    world = make_world(512, 3.0)
+    eng = make_engine(cfg)
+    s1 = eng.init_state()
+    s2 = eng.init_state()
+    for i, (px, py) in enumerate([(256, 256), (259, 256), (263, 258)]):
+        img = jnp.asarray(render_frame(world, h, w, float(px), float(py), 0.0))
+        s1, out = eng.step(s1, img)
+        s2, packed = eng.step_packed(s2, img)
+        got = unpack_step_output(packed)
+        want = jax.tree.map(np.asarray, out)
+        for name in out._fields:
+            np.testing.assert_allclose(
+                np.asarray(getattr(got, name)),
+                np.asarray(getattr(want, name)),
+                atol=1e-6,
+                err_msg=name,
+            )
