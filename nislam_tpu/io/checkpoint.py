@@ -76,7 +76,12 @@ def load_state(path: str, template: Any) -> Any:
         if got.shape != want.shape:
             raise ValueError(
                 f"leaf {saved_paths[i]}: shape {got.shape} != template "
-                f"{want.shape} (different capacities/config?)"
+                f"{want.shape} — the checkpoint was saved under a "
+                "different config: check map capacities "
+                "(keyframe_capacity/edge_capacity), image/polar sizes, "
+                "and cf.half_polar (it halves every polar tensor's row "
+                "count; pre-r4 checkpoints were written with "
+                "half_polar=False)"
             )
         if np.dtype(got.dtype) != np.dtype(want.dtype):
             raise ValueError(

@@ -93,7 +93,9 @@ class DistributedSlamEngine:
 
     def place(self, state: SlamState) -> SlamState:
         """Shard the O(K·H·W) bank tensors over the mesh axis, replicate the
-        rest (idempotent; use when resuming from a checkpoint).
+        rest (idempotent; use when resuming from a checkpoint — proven by
+        tests/test_parallel.py::test_checkpoint_to_distributed_resume and
+        the 2-process restore phase of tests/_dist_worker.py).
 
         Works on multi-process (multi-host) meshes too: when the mesh spans
         processes, leaves become global arrays via

@@ -120,6 +120,22 @@ class FleetSlamEngine:
         # non-addressable devices.
         return place_global(states, self._sharding)
 
+    def place_states(self, states_list):
+        """Stack per-lane ``SlamState``s onto the fleet mesh — the
+        checkpoint-resume path: load each lane's state with
+        ``io.checkpoint.load_state`` (single-lane template), then place
+        the list here.  Works on multi-process meshes (place_global)."""
+        from nislam_tpu.parallel.mesh import place_global
+
+        if len(states_list) != self.n_lanes:
+            raise ValueError(
+                f"{len(states_list)} states for {self.n_lanes} lanes"
+            )
+        states = jax.tree.map(
+            lambda *xs: jnp.stack([jnp.asarray(x) for x in xs]), *states_list
+        )
+        return place_global(states, self._sharding)
+
     def _wrap(self, lane_fn, extra_in_specs=()):
         """shard_map a per-lane function over the ``data`` axis; each shard
         holds exactly one lane (leading local axis of size 1).  cf_ops and
