@@ -216,6 +216,10 @@ def cmd_run(args: argparse.Namespace) -> int:
             f"WARNING: keyframe bank dropped {bank_ovf} keyframes at capacity "
             f"{state.bank.capacity} (eviction=drop; raise map.keyframe_capacity)"
         )
+    # One budget meaning across engines (LoopClosureConfig.max_candidates):
+    # the sharded search derives its per-shard cap from the same global
+    # budget (ceil(mc/n_shards) each), so this comparison is valid for any
+    # engine — at worst conservative by n_shards−1 rounded-up slots.
     max_elig = int(outs.loop_eligible.max()) if len(outs.loop_eligible) else 0
     cand_cap = config.loop_closure.max_candidates
     if max_elig > cand_cap:

@@ -70,24 +70,26 @@ def no_loop_result() -> LoopResult:
 
 
 def _gating_mask(
-    bank: KeyframeBank,
+    frame_ids: jnp.ndarray,
+    distances: jnp.ndarray,
     cur_frame_id: jnp.ndarray,
     cur_distance: jnp.ndarray,
     candidate_mask: jnp.ndarray,
     cfg: LoopClosureConfig,
 ) -> jnp.ndarray:
-    """Frame-gap + travel-distance gates (loop_closure.cc:44-54).
+    """Frame-gap + travel-distance gates (loop_closure.cc:44-54) over
+    plain per-slot arrays (works on a full bank or a shard-local block).
 
     Thresholds ≤ 0 disable their gate, like the reference's ``> 0`` checks.
     """
     m = candidate_mask
     if cfg.frame_gap_thr > 0:
         m = jnp.logical_and(
-            m, jnp.abs(cur_frame_id - bank.frame_ids) >= cfg.frame_gap_thr
+            m, jnp.abs(cur_frame_id - frame_ids) >= cfg.frame_gap_thr
         )
     if cfg.distance_thr > 0:
         m = jnp.logical_and(
-            m, jnp.abs(cur_distance - bank.distances) >= cfg.distance_thr
+            m, jnp.abs(cur_distance - distances) >= cfg.distance_thr
         )
     return m
 
@@ -269,7 +271,9 @@ def find_loop_closure(
     is the current frame's image spectrum, reused by the coarse-to-fine
     path instead of re-transforming ``image``."""
     near = frames_in_neighborhood(bank, prior_pose, grid_scale)
-    eligible = _gating_mask(bank, cur_frame_id, cur_distance, near, cfg)
+    eligible = _gating_mask(
+        bank.frame_ids, bank.distances, cur_frame_id, cur_distance, near, cfg
+    )
     return _batched_search(
         bank, image, cur_polar_fft, eligible, cf_ops, cfg.max_candidates, cfg,
         prior_pose=prior_pose, cur_fft=cur_fft,
@@ -289,7 +293,8 @@ def find_loop_closure_all(
     overload (/root/reference/src/loop_closure.cc:10-15); candidate cap is
     the full bank capacity."""
     eligible = _gating_mask(
-        bank, cur_frame_id, cur_distance, bank.valid_mask(), cfg
+        bank.frame_ids, bank.distances, cur_frame_id, cur_distance,
+        bank.valid_mask(), cfg
     )
     return _batched_search(
         bank, image, cur_polar_fft, eligible, cf_ops, bank.capacity, cfg

@@ -237,7 +237,7 @@ def slam_system_across_processes(mesh, gshard):
         map=MapConfig(grid_scale=0.15, keyframe_capacity=64, edge_capacity=128),
         loop_closure=LoopClosureConfig(
             to_find_loop=True, position_response_thr=6.0, angle_response_thr=5.0,
-            frame_gap_thr=10, distance_thr=0.5, max_candidates=8,
+            frame_gap_thr=10, distance_thr=0.5, max_candidates=32,
         ),
         camera=CameraConfig(
             image_width=w, image_height=h, height=1.0,
@@ -323,7 +323,7 @@ def restore_across_processes(mesh, gshard):
         map=MapConfig(grid_scale=0.15, keyframe_capacity=64, edge_capacity=128),
         loop_closure=LoopClosureConfig(
             to_find_loop=True, position_response_thr=6.0, angle_response_thr=5.0,
-            frame_gap_thr=10, distance_thr=0.5, max_candidates=8,
+            frame_gap_thr=10, distance_thr=0.5, max_candidates=32,
         ),
         camera=CameraConfig(
             image_width=w, image_height=h, height=1.0,

@@ -47,19 +47,18 @@ def _bank_with(world, poses_px, frame_ids, distances, map_cfg=MAP):
 
 
 def test_gating_mask_thresholds():
-    class B:
-        frame_ids = jnp.asarray([0, 50, 90, 100])
-        distances = jnp.asarray([0.0, 2.0, 4.0, 6.0])
+    frame_ids = jnp.asarray([0, 50, 90, 100])
+    distances = jnp.asarray([0.0, 2.0, 4.0, 6.0])
 
     cand = jnp.ones(4, bool)
     cfg = LoopClosureConfig(frame_gap_thr=60, distance_thr=3.0)
-    m = _gating_mask(B(), jnp.asarray(100), jnp.asarray(6.0), cand, cfg)
+    m = _gating_mask(frame_ids, distances, jnp.asarray(100), jnp.asarray(6.0), cand, cfg)
     # gap: |100-id| >= 60 keeps ids 0, 40?: [100,50,10,0] -> keeps 0; dist:
     # |6-d| >= 3 keeps d in {0,2,3?}: [6,4,2,0] -> keeps 0.0, 2.0(4>=3), not 4.0(2<3), not 6.0
     np.testing.assert_array_equal(np.asarray(m), [True, False, False, False])
     # thresholds <= 0 disable the gates (reference's `> 0` checks)
     cfg0 = LoopClosureConfig(frame_gap_thr=0, distance_thr=0.0)
-    m0 = _gating_mask(B(), jnp.asarray(100), jnp.asarray(6.0), cand, cfg0)
+    m0 = _gating_mask(frame_ids, distances, jnp.asarray(100), jnp.asarray(6.0), cand, cfg0)
     np.testing.assert_array_equal(np.asarray(m0), [True] * 4)
 
 

@@ -772,3 +772,34 @@ def test_half_polar_near_threshold_gating_matches_full(rng):
     # agreement — the pre-calibration global divide fails the garbage-side
     # analog of this by construction
     assert agree >= total - 2, (agree, total)
+
+
+@pytest.mark.parametrize("h,w,div,ch", [(96, 128, 180, 96), (95, 127, 90, 48), (64, 64, 73, 31)])
+def test_polar_resample_quad_matches_4tap(rng, h, w, div, ch):
+    """ADVICE r4 #3: polar_resample_quad (the production path) is
+    bit-identical to polar_tap_constants(fold_dc=False) + polar_resample
+    on the SAME input, including odd sizes and border/wrap cases."""
+    from nislam_tpu.ops.warp import (
+        polar_quad_constants,
+        polar_resample,
+        polar_resample_quad,
+        polar_tap_constants,
+    )
+
+    x = rng.standard_normal((h, w)).astype(np.float32)
+    x = np.asarray(remove_zero_component(jnp.asarray(x)))
+    idx4, w4t = polar_tap_constants(h, w, div, ch, fold_dc=False)
+    want = np.asarray(
+        polar_resample(jnp.asarray(x), jnp.asarray(idx4), jnp.asarray(w4t))
+    )
+    base, w4 = polar_quad_constants(h, w, div, ch)
+    got = np.asarray(
+        polar_resample_quad(jnp.asarray(x), jnp.asarray(base), jnp.asarray(w4))
+    )
+    np.testing.assert_allclose(got, want, atol=1e-6)
+    # batched input
+    xb = jnp.stack([jnp.asarray(x)] * 3)
+    gotb = np.asarray(
+        polar_resample_quad(xb, jnp.asarray(base), jnp.asarray(w4))
+    )
+    np.testing.assert_allclose(gotb[2], want, atol=1e-6)

@@ -94,7 +94,7 @@ def test_sharded_loop_search_matches_single(rng):
     mesh = make_mesh({"bank": 8})
     cfg = _config(loop_closure=LoopClosureConfig(
         to_find_loop=True, position_response_thr=8.0, angle_response_thr=8.0,
-        frame_gap_thr=5, distance_thr=0.2, max_candidates=8,
+        frame_gap_thr=5, distance_thr=0.2, max_candidates=64,
     ))
     engine = make_engine(cfg)
     world = make_world(512, 3.0)
@@ -197,7 +197,7 @@ def test_distributed_engine_matches_single():
     mesh = make_mesh({"bank": 8})
     cfg = _config(loop_closure=LoopClosureConfig(
         to_find_loop=True, position_response_thr=8.0, angle_response_thr=8.0,
-        frame_gap_thr=20, distance_thr=0.8, max_candidates=8,
+        frame_gap_thr=20, distance_thr=0.8, max_candidates=64,
     ))
     world = make_world(512, 3.0)
     frames = render_sequence(
@@ -235,7 +235,7 @@ def test_batch_run_sequences_with_loops_matches_single():
     mesh = make_mesh({"data": 2}, devices=jax.devices()[:2])
     cfg = _config(loop_closure=LoopClosureConfig(
         to_find_loop=True, position_response_thr=8.0, angle_response_thr=8.0,
-        frame_gap_thr=20, distance_thr=0.8, max_candidates=8,
+        frame_gap_thr=20, distance_thr=0.8, max_candidates=64,
     ))
     worlds = [make_world(512, 3.0, seed=s) for s in (1, 2)]
     seqs = np.stack([
@@ -327,7 +327,7 @@ def test_fleet_engine_matches_single():
     mesh = make_mesh({"data": 2}, devices=jax.devices()[:2])
     cfg = _config(loop_closure=LoopClosureConfig(
         to_find_loop=True, position_response_thr=8.0, angle_response_thr=8.0,
-        frame_gap_thr=20, distance_thr=0.8, max_candidates=8,
+        frame_gap_thr=20, distance_thr=0.8, max_candidates=64,
     ))
     worlds = [make_world(512, 3.0, seed=s) for s in (1, 2)]
     seqs = np.stack([
@@ -372,7 +372,7 @@ def test_fleet_engine_inline_optimizer_matches_single():
     mesh = make_mesh({"data": 2}, devices=jax.devices()[:2])
     base = _config(loop_closure=LoopClosureConfig(
         to_find_loop=True, position_response_thr=8.0, angle_response_thr=8.0,
-        frame_gap_thr=20, distance_thr=0.6, max_candidates=8,
+        frame_gap_thr=20, distance_thr=0.6, max_candidates=64,
     ))
     cfg = dataclasses.replace(
         base, optimizer=dataclasses.replace(base.optimizer, inline=True)
@@ -425,7 +425,7 @@ def test_fleet_lane_body_compiles_collective_free():
     mesh = make_mesh({"data": 2}, devices=jax.devices()[:2])
     cfg = _config(loop_closure=LoopClosureConfig(
         to_find_loop=True, position_response_thr=8.0, angle_response_thr=8.0,
-        frame_gap_thr=20, distance_thr=0.8, max_candidates=8,
+        frame_gap_thr=20, distance_thr=0.8, max_candidates=64,
     ))
     fleet = make_fleet_engine(cfg, mesh)
     states = fleet.init_states()
@@ -474,7 +474,8 @@ def test_sharded_truncation_prioritizes_prior_proximity(rng):
     _, polar = compute_intermedium(img, ops)
     lc = LoopClosureConfig(
         frame_gap_thr=0, distance_thr=0.0,  # gates off: all 4 eligible
-        position_response_thr=6.0, angle_response_thr=3.0, max_candidates=2,
+        position_response_thr=6.0, angle_response_thr=3.0,
+        max_candidates=8, max_candidates_per_shard=2,
     )
     prior = jnp.asarray([0.24, 0.06, 0.0], jnp.float32)
     res = find_loop_closure_sharded(
@@ -499,7 +500,7 @@ def test_checkpoint_to_distributed_resume(tmp_path):
 
     cfg = _config(loop_closure=LoopClosureConfig(
         to_find_loop=True, position_response_thr=8.0, angle_response_thr=8.0,
-        frame_gap_thr=20, distance_thr=0.8, max_candidates=8,
+        frame_gap_thr=20, distance_thr=0.8, max_candidates=64,
     ))
     world = make_world(512, 3.0)
     frames = jnp.asarray(render_sequence(
