@@ -55,6 +55,13 @@ def _add_run_args(p: argparse.ArgumentParser) -> None:
         "when present and the loader builds; 'off' disables",
     )
     p.add_argument(
+        "--calibrate", type=int, default=0, metavar="K", nargs="?", const=32,
+        help="before running, measure the PSR anchors on the first K "
+        "(default 32) dataset frames and rescale every response threshold "
+        "to the measured texture (core.calibrate; the sqrt-area law alone "
+        "cannot supply the texture anchor — docs/TEXTURES_r4.md)",
+    )
+    p.add_argument(
         "--snapshot-every", type=int, default=0, metavar="N",
         help="in step mode: save trajectory/occupancy snapshot PNGs to "
         "saving_root every N frames (the reference publishes live ROS "
@@ -79,6 +86,25 @@ def cmd_run(args: argparse.Namespace) -> int:
     if args.max_frames:
         n = min(n, args.max_frames)
     print(f"dataset: {dataroot} ({n} frames)")
+
+    if getattr(args, "calibrate", 0):
+        from nislam_tpu.core.calibrate import (
+            apply_thresholds,
+            calibrate_thresholds,
+        )
+
+        k = min(args.calibrate, n)
+        probe = np.stack([dataset.get_raw(i)[0] for i in range(k)])
+        thr, diag = calibrate_thresholds(config, probe)
+        config = apply_thresholds(config, thr)
+        print(
+            f"calibrated thresholds on {k} frames "
+            f"(texture ratio t={diag['texture_ratio_translation']} "
+            f"r={diag['texture_ratio_rotation']}; tracking margin "
+            f"{diag['margin_tracking']}x, loop separation "
+            f"{diag['separation_position']}x): "
+            + ", ".join(f"{kk}={vv}" for kk, vv in thr.items())
+        )
 
     engine = make_engine(config)
     state = engine.init_state()
@@ -382,6 +408,49 @@ def cmd_eval(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_calibrate(args: argparse.Namespace) -> int:
+    """Per-deployment threshold anchoring (VERDICT r4 #8): PSR anchors
+    measured on the dataset's own texture rescale the derived thresholds;
+    prints a ready-to-paste YAML snippet + margin diagnostics."""
+    from nislam_tpu.core.calibrate import calibrate_thresholds
+    from nislam_tpu.core.config import load_config
+    from nislam_tpu.io.dataset import open_dataset
+
+    config = load_config(args.config)
+    dataroot = args.dataroot or config.dataset.dataroot
+    dataset = open_dataset(dataroot, config.dataset.image_dir_name or "rgb")
+    k = min(args.frames, len(dataset))
+    probe = np.stack([dataset.get_raw(i)[0] for i in range(k)])
+    thr, diag = calibrate_thresholds(config, probe)
+    print(f"# calibrated on {k} frames of {dataroot}")
+    print(
+        f"# texture ratio vs gaussian anchor: translation "
+        f"{diag['texture_ratio_translation']}, rotation "
+        f"{diag['texture_ratio_rotation']}"
+    )
+    print(
+        f"# margins: tracking q10/gate {diag['margin_tracking']}x, "
+        f"rotation {diag['margin_rotation']}x; loop separation "
+        f"pos {diag['separation_position']}x angle {diag['separation_angle']}x"
+    )
+    if diag["margin_tracking"] < 1.2 or diag["margin_rotation"] < 1.2:
+        print(
+            "# WARNING: thin matched-PSR margin — this texture tracks "
+            "marginally at these sizes (cf. the powerlaw cliff, "
+            "docs/TEXTURES_r4.md)"
+        )
+    print("keyframe_selection:")
+    for kk in (
+        "lower_response_thr", "upper_response_thr",
+        "lower_rotation_response_thr", "upper_rotation_response_thr",
+    ):
+        print(f"  {kk}: {thr[kk]}")
+    print("loop_closure:")
+    for kk in ("position_response_thr", "angle_response_thr"):
+        print(f"  {kk}: {thr[kk]}")
+    return 0
+
+
 def main(argv=None) -> int:
     # Honor JAX_PLATFORMS even when a sitecustomize hook force-registers an
     # accelerator backend (config.update wins over the preset) — same
@@ -432,6 +501,14 @@ def main(argv=None) -> int:
         "--noise", action="store_true",
         help="add sensor noise + illumination drift to the rendered frames",
     )
+    cal_p = sub.add_parser(
+        "calibrate",
+        help="measure PSR anchors on the dataset's first K frames and "
+        "print texture-rescaled thresholds as a YAML snippet",
+    )
+    cal_p.add_argument("--config", required=True)
+    cal_p.add_argument("--dataroot", default=None)
+    cal_p.add_argument("--frames", type=int, default=32)
     eval_p = sub.add_parser(
         "eval", help="BASELINE-style model evaluation (fps + ATE JSON line)"
     )
@@ -450,6 +527,8 @@ def main(argv=None) -> int:
         return cmd_synth(args)
     if args.cmd == "eval":
         return cmd_eval(args)
+    if args.cmd == "calibrate":
+        return cmd_calibrate(args)
     return 1
 
 

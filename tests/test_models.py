@@ -122,3 +122,93 @@ def test_full_slam_evaluate(world):
     assert res.solves >= 1  # finalize or a mid-run chunk solve fired
     assert res.ate_rmse_m is not None and res.ate_rmse_m < 0.05
     assert res.keyframe_trajectory.shape[1] == 3
+
+
+class TestCalibration:
+    """Per-deployment threshold anchoring (core.calibrate, VERDICT r4 #8)."""
+
+    @staticmethod
+    def _cfg(h=96, w=128):
+        from nislam_tpu.core.config import (
+            CFConfig,
+            CameraConfig,
+            KeyframeSelectionConfig,
+            SlamConfig,
+            derive_response_thresholds,
+        )
+
+        thr = derive_response_thresholds(w, h, 180, 96)
+        return SlamConfig(
+            cf=CFConfig(width=w, height=h, rotation_divisor=180, rotation_channel=96),
+            keyframe_selection=KeyframeSelectionConfig(
+                lower_response_thr=thr["lower_response_thr"],
+                upper_response_thr=thr["upper_response_thr"],
+                lower_rotation_response_thr=thr["lower_rotation_response_thr"],
+                upper_rotation_response_thr=thr["upper_rotation_response_thr"],
+            ),
+            camera=CameraConfig(
+                image_width=w, image_height=h, height=1.0,
+                intrinsics=(float(w), w / 2.0, float(w), h / 2.0),
+            ),
+        )
+
+    @staticmethod
+    def _frames(family, sigma, h=96, w=128, n=14):
+        from nislam_tpu.utils.synthetic import (
+            make_world,
+            render_sequence,
+            straight_path,
+        )
+
+        world = make_world(512, sigma, seed=3, family=family)
+        return render_sequence(
+            world, h, w, straight_path(n, step=4.0, start=(256.0, 256.0))
+        ).astype(np.float32)
+
+    def test_gaussian_ratio_near_unity(self):
+        """On the anchor family itself, calibration is ~a no-op."""
+        from nislam_tpu.core.calibrate import calibrate_thresholds
+
+        cfg = self._cfg()
+        thr, diag = calibrate_thresholds(cfg, self._frames("gaussian", 3.0))
+        assert 0.7 <= diag["texture_ratio_translation"] <= 1.4, diag
+        assert diag["margin_tracking"] > 1.5
+
+    def test_powerlaw_margin_regression(self):
+        """TEXTURES_r4 §1 / VERDICT r4 weak #6: the powerlaw family's
+        matched PSR sits differently from the gaussian anchor; calibration
+        must normalize the tracking margin into the same healthy band the
+        anchor family enjoys, where the uncalibrated law leaves it off."""
+        from nislam_tpu.core.calibrate import (
+            calibrate_thresholds,
+            measure_psr_anchors,
+        )
+        from nislam_tpu.core.config import derive_response_thresholds
+
+        cfg = self._cfg()
+        frames = self._frames("powerlaw", 1.2)
+        thr, diag = calibrate_thresholds(cfg, frames)
+        anchors = measure_psr_anchors(cfg, frames)
+        base = derive_response_thresholds(128, 96, 180, 96)
+        margin_uncal = anchors["matched_t_q10"] / base["lower_response_thr"]
+        margin_cal = diag["margin_tracking"]
+        # calibrated margin must be in the healthy band regardless of family
+        assert 1.5 <= margin_cal <= 8.0, (margin_cal, margin_uncal)
+        # and the correction is real: the calibrated margin is closer to the
+        # gaussian family's calibrated margin than the uncalibrated one is
+        _, gdiag = calibrate_thresholds(cfg, self._frames("gaussian", 3.0))
+        assert abs(margin_cal - gdiag["margin_tracking"]) <= abs(
+            margin_uncal - gdiag["margin_tracking"]
+        ) + 0.3
+
+    def test_apply_thresholds(self):
+        from nislam_tpu.core.calibrate import (
+            apply_thresholds,
+            calibrate_thresholds,
+        )
+
+        cfg = self._cfg()
+        thr, _ = calibrate_thresholds(cfg, self._frames("gaussian", 3.0))
+        cfg2 = apply_thresholds(cfg, thr)
+        assert cfg2.keyframe_selection.lower_response_thr == thr["lower_response_thr"]
+        assert cfg2.loop_closure.angle_response_thr == thr["angle_response_thr"]
