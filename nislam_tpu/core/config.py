@@ -197,6 +197,11 @@ class MapStitcherConfig:
     stitch_map: bool = True
     cell_size: int = 1000
     canvas_size: int = 2048
+    # Image-plane pixel the canvas is centered on (default: the trajectory
+    # origin).  Point it at the deployment area's centroid when the path is
+    # one-sided from its start — a centered canvas then needs only
+    # extent+margin instead of 2×max-offset.
+    canvas_center: tuple = (0, 0)
     # Stitch DURING the run, like the reference (InsertFrame per keyframe,
     # map_builder.cc:62; RecomputeOccupancy after every optimize, :113):
     # the canvas lives in the engine state and every keyframe pays one
@@ -418,6 +423,9 @@ def load_config(path: str, *, load_camera: bool = True) -> SlamConfig:
         stitch_map=bool(msn.get("stitch_map", True)),
         cell_size=int(msn.get("cell_size", 1000)),
         canvas_size=int(msn.get("canvas_size", 2048)),
+        canvas_center=tuple(
+            int(v) for v in msn.get("canvas_center", (0, 0))
+        ),
         online=bool(msn.get("online", False)),
     )
 

@@ -52,6 +52,10 @@ class StitchCanvas:
 
     data: jnp.ndarray  # (S, S) f32 — Σ intensity (0..100 scale)
     weight: jnp.ndarray  # (S, S) f32 — Σ hits
+    # Image-plane pixel at the canvas center (MapStitcherConfig.canvas_center;
+    # static — part of the program, not state).
+    center_x: int = dataclasses.field(default=0, metadata=dict(static=True))
+    center_y: int = dataclasses.field(default=0, metadata=dict(static=True))
 
     @property
     def size(self) -> int:
@@ -60,9 +64,12 @@ class StitchCanvas:
 
 def make_canvas(cfg: MapStitcherConfig) -> StitchCanvas:
     s = cfg.canvas_size
+    cx, cy = cfg.canvas_center
     return StitchCanvas(
         data=jnp.zeros((s, s), jnp.float32),
         weight=jnp.zeros((s, s), jnp.float32),
+        center_x=int(cx),
+        center_y=int(cy),
     )
 
 
@@ -105,8 +112,8 @@ def insert_frame(
     h, w = image.shape[-2], image.shape[-1]
     xi, yi = _frame_targets((h, w), pose_robot, camera)
     half = canvas.size // 2
-    col = xi + half
-    row = yi + half
+    col = xi - canvas.center_x + half
+    row = yi - canvas.center_y + half
     inb = (col >= 0) & (col < canvas.size) & (row >= 0) & (row < canvas.size)
     ok = jnp.logical_and(jnp.asarray(enabled), inb)
     # Flatten to 1D scatter; clamp dropped indices to 0 with zero weight.
@@ -115,7 +122,7 @@ def insert_frame(
     wts = sign * ok.astype(jnp.float32).reshape(-1)
     data = canvas.data.reshape(-1).at[idx].add(vals).reshape(canvas.data.shape)
     wsum = canvas.weight.reshape(-1).at[idx].add(wts).reshape(canvas.weight.shape)
-    return StitchCanvas(data=data, weight=wsum)
+    return dataclasses.replace(canvas, data=data, weight=wsum)
 
 
 def recompute(
@@ -130,8 +137,10 @@ def recompute(
             "keyframe bank stores no images (MapConfig.store_images=False); "
             "the stitcher needs raw frames to rasterize"
         )
-    fresh = StitchCanvas(
-        data=jnp.zeros_like(canvas.data), weight=jnp.zeros_like(canvas.weight)
+    fresh = dataclasses.replace(
+        canvas,
+        data=jnp.zeros_like(canvas.data),
+        weight=jnp.zeros_like(canvas.weight),
     )
 
     def body(i, cv):
@@ -156,7 +165,9 @@ def occupancy_origin(camera: CameraOps, canvas: StitchCanvas) -> jnp.ndarray:
     (/root/reference/src/map_builder.cc:308-330): the image-plane pixel at
     the canvas corner converted to the robot frame."""
     half = canvas.size // 2
-    corner = jnp.asarray([-half, -half, 0.0], jnp.float32)
+    corner = jnp.asarray(
+        [canvas.center_x - half, canvas.center_y - half, 0.0], jnp.float32
+    )
     return camera.image_plane_to_robot(corner)[:2]
 
 

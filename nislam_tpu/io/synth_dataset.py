@@ -132,6 +132,16 @@ extrinsics:
     # and ATE is pure VO drift, a 0.9 m cell finds 8 and ATE drops 11×).
     path_len = n_frames * step_px * px_scale
     grid_scale = max(0.3 * height * px_scale, 0.02 * path_len)
+    # Stitcher canvas sized AND centered to the trajectory: extent in
+    # image-plane pixels + one frame of margin, centered on the path
+    # centroid (a 512-frame 640×480 loop spans ~5 800 px one-sided from
+    # its start — an origin-centered canvas would need 2× that).
+    xs = [p[0] - start[0] for p in poses]
+    ys = [p[1] - start[1] for p in poses]
+    extent_px = max(max(xs) - min(xs), max(ys) - min(ys))
+    canvas_size = int(-(-(extent_px + 2.0 * max(height, width)) // 1024) * 1024)
+    canvas_cx = int(round((max(xs) + min(xs)) / 2.0))
+    canvas_cy = int(round((max(ys) + min(ys)) / 2.0))
     cfg_yaml = os.path.join(out_dir, "config.yaml")
     with open(cfg_yaml, "w") as f:
         f.write(
@@ -177,7 +187,8 @@ loop_closure:
 map_sticther:
   stitch_map: true
   cell_size: 1000
-  canvas_size: 4096
+  canvas_size: {canvas_size}
+  canvas_center: [{canvas_cx}, {canvas_cy}]
 
 saving:
   save_pose: true

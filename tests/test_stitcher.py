@@ -269,3 +269,44 @@ def test_insert_frame_sign_subtract_cancels(rng):
     np.testing.assert_allclose(
         np.asarray(restored.weight), np.asarray(canvas.weight), atol=1e-6
     )
+
+
+def test_canvas_center_offset(rng):
+    """A canvas centered on (cx, cy) captures content there that an
+    origin-centered canvas of the same size would clip, with
+    occupancy_origin shifted accordingly."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from nislam_tpu.core.camera import make_camera_ops
+    from nislam_tpu.core.config import CameraConfig, MapStitcherConfig
+    from nislam_tpu.core.stitcher import (
+        insert_frame,
+        make_canvas,
+        occupancy_grid,
+        occupancy_origin,
+    )
+
+    cam = make_camera_ops(CameraConfig(
+        image_width=16, image_height=12, height=1.0,
+        intrinsics=(100.0, 8.0, 100.0, 6.0),
+    ))
+    img = jnp.asarray(rng.random((12, 16)).astype(np.float32))
+    # robot pose far from the origin: 1.0 m -> 100 image-plane px
+    pose = jnp.asarray([1.0, 1.0, 0.0], jnp.float32)
+
+    off = make_canvas(MapStitcherConfig(canvas_size=64))
+    off = insert_frame(off, img, pose, cam)
+    assert float(off.weight.sum()) == 0.0  # clipped entirely
+
+    cfg = MapStitcherConfig(canvas_size=64, canvas_center=(100, 100))
+    cen = make_canvas(cfg)
+    cen = insert_frame(cen, img, pose, cam)
+    assert float(cen.weight.sum()) == 12 * 16  # all pixels landed
+    g = np.asarray(occupancy_grid(cen))
+    assert (g >= 0).sum() > 0
+    # origin shifts by the center offset (0.01 m/px)
+    o0 = np.asarray(occupancy_origin(cam, off))
+    o1 = np.asarray(occupancy_origin(cam, cen))
+    np.testing.assert_allclose(o1 - o0, [1.0, 1.0], atol=1e-5)
