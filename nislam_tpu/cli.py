@@ -166,9 +166,25 @@ def cmd_run(args: argparse.Namespace) -> int:
             )
         from nislam_tpu.core.slam import unpack_step_output
 
+        if nisf_path is not None:
+            # Zero-copy mmap frame views (no per-frame image decode) —
+            # step-mode latency then measures the engine, not PNG I/O.
+            from nislam_tpu.io.native_loader import NativeChunkReader
+
+            reader = NativeChunkReader(nisf_path, chunk=1, threads=1, ring=2)
+            n = min(n, len(reader))
+            times_nisf = reader.timestamps()
+            print(f"native loader: {nisf_path} ({len(reader)} frames)")
+
+            def get_frame(i):
+                return reader.frame(i), float(times_nisf[i])
+
+        else:
+            get_frame = dataset.get_raw  # u8 when 8-bit: 4× fewer upload bytes
+
         step_ran_flags = []
         for i in range(n):
-            img, ts = dataset.get_raw(i)  # u8 when 8-bit: 4× fewer upload bytes
+            img, ts = get_frame(i)
             all_times.append(ts)
             t1 = time.time()
             # Packed single-vector output: ONE small device→host readback
@@ -438,6 +454,14 @@ def cmd_calibrate(args: argparse.Namespace) -> int:
             "# WARNING: thin matched-PSR margin — this texture tracks "
             "marginally at these sizes (cf. the powerlaw cliff, "
             "docs/TEXTURES_r4.md)"
+        )
+    if diag.get("data_nomatch_suspect"):
+        print(
+            "# WARNING: the 'no-match' probe frames still correlate like "
+            "matches — the camera moved less than a frame-width over the "
+            "probe window, so the separation diagnostics above are not "
+            "meaningful (thresholds themselves remain valid); probe more "
+            "frames (--frames) or a faster-moving segment"
         )
     print("keyframe_selection:")
     for kk in (

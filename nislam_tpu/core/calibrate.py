@@ -23,10 +23,12 @@ def measure_psr_anchors(config, images: np.ndarray) -> Dict[str, float]:
     """Matched + no-match PSR anchors of ``images`` under ``config``.
 
     Matched pairs are consecutive frames (the tracking registration the
-    thresholds gate); no-match pairs are maximally-separated frames
-    (assumed unrelated views — true for any moving camera over the probe
-    window).  Returns medians and deciles of translation and rotation
-    PSR for both populations.
+    thresholds gate); no-match pairs are maximally-separated frames —
+    VALID ONLY when the camera moves at least a frame-width over the
+    probe window (a slow camera's "separated" frames still overlap; the
+    caller checks the ``nomatch_suspect`` diagnostic and warns).
+    Returns medians and deciles of translation and rotation PSR for both
+    populations.
     """
     import jax
     import jax.numpy as jnp
@@ -78,6 +80,13 @@ def measure_psr_anchors(config, images: np.ndarray) -> Dict[str, float]:
         "matched_r_q10": float(np.quantile(mr, 0.1)),
         "nomatch_t_q90": float(np.quantile(gt, 0.9)),
         "nomatch_r_q90": float(np.quantile(gr, 0.9)),
+        # "no-match" frames that still correlate like matches ⇒ the probe
+        # window is too short for this camera's speed — the separation
+        # diagnostics are then meaningless (but the matched anchors and
+        # the threshold rescale remain valid).
+        "nomatch_suspect": bool(
+            np.quantile(gt, 0.5) > 0.5 * np.median(mt)
+        ),
         "pairs": int(n - 1),
     }
 

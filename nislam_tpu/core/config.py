@@ -413,6 +413,7 @@ def load_config(path: str, *, load_camera: bool = True) -> SlamConfig:
         distance_thr=float(lcn.get("distance_thr", 5.0)),
         max_candidates=int(lcn.get("max_candidates", 8)),
         coarse_scale=int(lcn.get("coarse_scale", 1)),
+        max_candidates_per_shard=int(lcn.get("max_candidates_per_shard", 0)),
         pending_capacity=int(lcn.get("pending_capacity", 32)),
     )
 
@@ -456,4 +457,5 @@ def load_config(path: str, *, load_camera: bool = True) -> SlamConfig:
         optimizer=opt,
         saving=sv,
         camera=camera,
+        scan_unroll=int(node.get("scan_unroll", 1)),
     )

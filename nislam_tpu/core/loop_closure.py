@@ -95,9 +95,7 @@ def _gating_mask(
 
 
 def _coarse_fine_search(
-    zf: jnp.ndarray,
-    zp: jnp.ndarray,
-    filters,
+    bank: KeyframeBank,
     image: jnp.ndarray,
     cur_fft: jnp.ndarray,
     cur_polar_fft: jnp.ndarray,
@@ -122,14 +120,28 @@ def _coarse_fine_search(
     on the winning candidate only: the acceptance thresholds and the
     loop-edge pose keep full reference semantics; only the candidate
     argmax is approximated.  ~s²× less full-resolution work per search.
+
+    Gathers are staged to what each stage touches: all C polar spectra/
+    filters + image spectra, but the full-resolution IMAGE filter (the
+    biggest bank tensor) only for the winner — one slot of HBM traffic
+    instead of C.  The winner reuses stage 1's rotation (compute_pose's
+    ``rotation=`` bypass) rather than re-registering the polar grids.
     """
     cf = cf_ops.cfg
     s = cfg.coarse_scale
+    c = slots.shape[0]
     ishape = (cf.height, cf.width)
+    ish = (cf.height, cf.width // 2 + 1)
+    psh = (cf.polar_shape[0], cf.polar_shape[1] // 2 + 1)
     cshape = (cf.height // s, cf.width // s)
-    filt_img, filt_polar = filters if filters is not None else (None, None)
+    cached = bool(bank.filt.shape[1])
+    zf = gather_slots_c2r(bank.fft, slots, c, ish)  # (C, H, W2)
+    zp = gather_slots_c2r(bank.polar_fft, slots, c, psh)
+    filt_polar = (
+        gather_slots_c2r(bank.filt_polar, slots, c, psh) if cached else None
+    )
 
-    # Stage 1: rotation (exact, shared with the winner's compute_pose).
+    # Stage 1: rotation (exact; reused by the winner's compute_pose).
     degree, info_rot = estimate_rotation(
         zp, cur_polar_fft[None], cf_ops, filt_polar
     )  # (C,)
@@ -147,13 +159,20 @@ def _coarse_fine_search(
     total = jnp.where(picked, score, -jnp.inf)
     best = jnp.argmax(total)
 
-    # Stage 3: exact full-resolution registration of the winner.
+    # Stage 3: exact full-resolution registration of the winner (image
+    # filter gathered for ONE slot; rotation reused from stage 1).
     filters_b = (
-        None if filters is None else (filt_img[best], filt_polar[best])
+        (
+            gather_slots_c2r(bank.filt, slots[best][None], 1, ish)[0],
+            filt_polar[best],
+        )
+        if cached
+        else None
     )
     best_pose, best_info = compute_pose(
         zf[best], image, zp[best], cur_polar_fft, cf_ops,
         large_rotation=True, filters=filters_b,
+        rotation=(degree[best], info_rot[best]),
     )
     any_eligible = jnp.any(picked)
     found = jnp.logical_and(
@@ -200,9 +219,16 @@ def _batched_search(
     _, slots = jax.lax.top_k(score, c)
     picked = eligible[slots]  # (C,) — False where top_k padded with ineligible
 
-    # Gather per-slot with dynamic slices of the flat row store and upcast
-    # per slice, NOT r2c(arr[slots]): the XLA gather lowering layout-copies
-    # the whole bank first (see map_store.gather_slots_c2r).
+    if cfg.coarse_scale > 1:
+        if cur_fft is None:  # callers that don't thread the frame spectrum
+            cur_fft = rfft2(image)
+        return _coarse_fine_search(
+            bank, image, cur_fft, cur_polar_fft,
+            picked, slots, cf_ops, cfg, n_eligible,
+        )
+    # Gather per-slot with dynamic slices and upcast per slice, NOT
+    # r2c(arr[slots]): the XLA gather lowering layout-copies the whole
+    # bank first (see map_store.gather_slots_c2r).
     cf = cf_ops.cfg
     ish = (cf.height, cf.width // 2 + 1)
     psh = (cf.polar_shape[0], cf.polar_shape[1] // 2 + 1)
@@ -216,13 +242,6 @@ def _batched_search(
         if bank.filt.shape[1]
         else None  # cache_filters off: recompute Kzz per candidate
     )
-    if cfg.coarse_scale > 1:
-        if cur_fft is None:  # callers that don't thread the frame spectrum
-            cur_fft = rfft2(image)
-        return _coarse_fine_search(
-            zf, zp, filters, image, cur_fft, cur_polar_fft,
-            picked, slots, cf_ops, cfg, n_eligible,
-        )
     pose, info = compute_pose(
         zf,
         image[None, :, :],

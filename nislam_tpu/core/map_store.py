@@ -159,24 +159,6 @@ def make_edge_store(map_cfg: MapConfig) -> EdgeStore:
     )
 
 
-def gather_slots(arr: jnp.ndarray, slots: jnp.ndarray, c: int) -> jnp.ndarray:
-    """Gather ``c`` bank slots as ``c`` unrolled dynamic slices.
-
-    ``arr[slots]`` (an XLA gather) on a large bank is catastrophic on TPU:
-    the compiler's mini-gather lowering layout-copies the ENTIRE bank into
-    gather-friendly form first — profiled at the HD config (r5,
-    scripts/hdprofile.py) as 4 × ~1 GB whole-bank copies per loop search,
-    ~60% of total frame time.  ``c`` per-slot ``dynamic_slice`` reads touch
-    only the selected slots at the bank's native layout (c × slot_bytes).
-    ``c`` is static and small (max_candidates), so the unroll is cheap.
-    """
-    parts = [
-        jax.lax.dynamic_slice_in_dim(arr, slots[i], 1, axis=0)
-        for i in range(c)
-    ]
-    return jnp.concatenate(parts, axis=0)
-
-
 def gather_slots_c2r(
     arr: jnp.ndarray,
     slots: jnp.ndarray,
@@ -185,11 +167,17 @@ def gather_slots_c2r(
 ) -> jnp.ndarray:
     """Gather ``c`` spectral bank slots → complex64 ``(c, *shape)``.
 
-    Per-slot dynamic slices (see :func:`gather_slots`) with the f32
-    upcast applied PER SLICE — converting after concatenation lets XLA
-    hoist the layout conversion onto the whole bank (profiled: ~1 GB
-    copy per search at HD).  ``shape`` documents/asserts the per-slot
-    spectrum shape ``(rows, cols)``.
+    ``r2c(arr[slots])`` (an XLA gather) on a large bank is catastrophic
+    on TPU: the compiler's mini-gather lowering layout-copies the ENTIRE
+    bank into gather-friendly form first — profiled at the HD config
+    (r5, scripts/hdprofile.py) as 4 × ~1 GB whole-bank copies per loop
+    search, ~60% of total frame time.  ``c`` per-slot ``dynamic_slice``
+    reads touch only the selected slots at the bank's native layout,
+    with the f32 upcast applied PER SLICE — converting after
+    concatenation lets XLA hoist the layout conversion back onto the
+    whole bank.  ``c`` is static and small (max_candidates), so the
+    unroll is cheap.  ``shape`` documents/asserts the per-slot spectrum
+    shape ``(rows, cols)``.
     """
     from nislam_tpu.ops.fft import r2c
 

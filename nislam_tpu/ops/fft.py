@@ -346,10 +346,16 @@ def _ct_min() -> int:
 
 
 def set_ct_min(n: int | None) -> None:
-    """Pin the factored-DFT threshold (None = default) and drop cached
-    traces (tests exercise the factored path at small sizes this way)."""
+    """Pin the factored-DFT threshold (None = default, ≤0 = disabled —
+    the same mapping as the env path) and drop cached traces (tests
+    exercise the factored path at small sizes this way)."""
     global _CT_MIN
-    _CT_MIN = _CT_MIN_DEFAULT if n is None else int(n)
+    if n is None:
+        _CT_MIN = _CT_MIN_DEFAULT
+    elif int(n) <= 0:
+        _CT_MIN = 1 << 62
+    else:
+        _CT_MIN = int(n)
     jax.clear_caches()
 
 

@@ -140,13 +140,23 @@ def half_polar_psr_affine(
     centro-symmetric spectrum, so the full-grid correlation averages ~2×
     quasi-independent samples and its matched-peak PSR runs ~1/0.84
     higher — an effect invisible to exactly-periodic synthetic polar maps
-    (measured: those give ratio 1.0).  Matched probes = two noisy
-    observations of one texture; no-match probes = independent textures.
-    The affine through the two cluster means rescales matched
-    confidences into full-grid units WITHOUT inflating the garbage tail
-    (whose half/full ratio is ≈1):
-    ``a = (F_m−F_g)/(H_m−H_g)``, ``b = F_g − a·H_g``.  lru-cached per
-    config; ~0.5 s at 640×480 (one-time, engine construction).
+    (measured: those give ratio 1.0).
+
+    The returned map is MULTIPLICATIVE (b = 0): ``a`` is the mean
+    full/half ratio of the clean-matched probes at this config.  A true
+    affine (nonzero intercept) was implemented and REJECTED on decision
+    evidence: both two-point and least-squares fits over a degradation
+    continuum measure b ≈ −2, but the probes' intercept disagrees with
+    real engine tracking pairs by ±2 PSR — inside the fit's own scatter —
+    and that error lands exactly in the keyframe-band region, flipping
+    near-band decisions that the full-polar engine and the ratio model
+    agree on (measured on the 120×160 square-path workload: affine-half
+    inserted 4 spurious keyframes and doubled no-loop VO drift).  The
+    ratio model is monotone and threshold-scale-consistent with how the
+    derived thresholds were anchored; the residual no-match inflation is
+    bounded by the a/(measured garbage ratio ≈0.9–1.0) ≤ ~1.2× band and
+    carried by the documented threshold margins (tested).  lru-cached per
+    config; ~1 s at 640×480 (one-time, engine construction).
     """
     import numpy as np
 
@@ -156,11 +166,11 @@ def half_polar_psr_affine(
     d2 = full_d // 2
     idx, wgt = polar_tap_constants(height, width, full_d, c, fold_dc=True)
 
-    def polar_map(img, rows):
+    def polar_map(img):
         power_t = np.fft.ifft2(np.abs(np.fft.fft2(img))).real
         flat = power_t.reshape(-1)
-        taps = flat[idx[:rows]]  # (rows, C, K)
-        return np.sum(taps * wgt[:rows], axis=-1)
+        taps = flat[idx]  # (D, C, K)
+        return np.sum(taps * wgt, axis=-1)
 
     def smooth_tex():
         t = rng.standard_normal((height, width))
@@ -172,24 +182,35 @@ def half_polar_psr_affine(
         t -= t.min()
         return t / max(t.max(), 1e-9)
 
-    hm, fm, hg, fg = [], [], [], []
+    def psr(z, x):
+        return _np_kcc_psr(z, x, kernel, offset, power, sigma, lambda_)
+
+    hs, fs = [], []
     for _ in range(4):
         t1 = smooth_tex()
-        t1n = np.clip(t1 + 0.02 * rng.standard_normal(t1.shape), 0, 1)
-        t2 = smooth_tex()
-        pf1, pf1n = polar_map(t1, full_d), polar_map(t1n, full_d)
-        ph1, ph1n = pf1[:d2], pf1n[:d2]
-        pf2 = polar_map(t2, full_d)
-        ph2 = pf2[:d2]
-        fm.append(_np_kcc_psr(pf1, pf1n, kernel, offset, power, sigma, lambda_))
-        hm.append(_np_kcc_psr(ph1, ph1n, kernel, offset, power, sigma, lambda_))
-        fg.append(_np_kcc_psr(pf1, pf2, kernel, offset, power, sigma, lambda_))
-        hg.append(_np_kcc_psr(ph1, ph2, kernel, offset, power, sigma, lambda_))
-    h_m, f_m = float(np.mean(hm)), float(np.mean(fm))
-    h_g, f_g = float(np.mean(hg)), float(np.mean(fg))
-    a = (f_m - f_g) / max(h_m - h_g, 1e-6)
-    b = f_g - a * h_g
-    return a, b
+        pf1 = polar_map(t1)
+        # clean-matched probes: two noisy observations of one texture
+        for noise in (0.02, 0.05, 0.1):
+            tn = np.clip(t1 + noise * rng.standard_normal(t1.shape), 0, 1)
+            pfn = polar_map(tn)
+            fs.append(psr(pf1, pfn))
+            hs.append(psr(pf1[:d2], pfn[:d2]))
+    h = float(np.mean(hs))
+    f = float(np.mean(fs))
+    if h < 3.0 or f < 3.0:
+        # Degenerate probes (matched registration failed — e.g. a polar
+        # grid too small for the synthetic textures): fall back to the
+        # legacy measured global scale rather than miscalibrating.
+        import warnings
+
+        warnings.warn(
+            f"half_polar_psr_affine: matched probes failed to register at "
+            f"polar {full_d}x{c} (PSR {h:.1f}/{f:.1f}); falling back to "
+            f"the global 1/{HALF_POLAR_PSR_SCALE} scale",
+            stacklevel=2,
+        )
+        return 1.0 / HALF_POLAR_PSR_SCALE, 0.0
+    return f / h, 0.0
 
 
 def make_cf_ops(cfg: CFConfig) -> CFOps:
@@ -423,8 +444,14 @@ def compute_pose(
     *,
     large_rotation: bool,
     filters: Tuple[jnp.ndarray, jnp.ndarray] | None = None,
+    rotation: Tuple[jnp.ndarray, jnp.ndarray] | None = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Full (x, y, θ) registration of ``image`` against a keyframe.
+
+    ``rotation=(degree, info_rot)`` skips the polar registration stage and
+    reuses a precomputed :func:`estimate_rotation` result (already in
+    full-grid confidence units) — the coarse-to-fine loop search computes
+    it once for every candidate and must not pay it again for the winner.
 
     Parity with ``ComputePose`` (/root/reference/src/correlation_flow.cc:
     97-143):
@@ -444,9 +471,12 @@ def compute_pose(
     ishape = (cfg.height, cfg.width)
     filt_img, filt_polar = filters if filters is not None else (None, None)
 
-    degree, info_rot = estimate_rotation(
-        last_polar_fft, cur_polar_fft, ops, filt_polar
-    )
+    if rotation is not None:
+        degree, info_rot = rotation
+    else:
+        degree, info_rot = estimate_rotation(
+            last_polar_fft, cur_polar_fft, ops, filt_polar
+        )
 
     rotate_spec = _rotate_spectrum_fn(cfg)
     if not large_rotation:
