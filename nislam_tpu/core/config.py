@@ -65,6 +65,13 @@ class CFConfig:
     # the reference's tuning.  Silently falls back to the full map for odd
     # divisors.
     half_polar: bool = True
+    # Polar resample implementation: "quad" (one gather index per output
+    # into a quad-packed 2×2-footprint view — 4× fewer descriptors, but
+    # materializes a 4× copy of the power array), "4tap" (four direct
+    # gathers, no materialization), or "auto": quad below ~1 Mpx images,
+    # 4tap above (at the HD config the quad pack writes+reads ~30 MB per
+    # frame and loses; measured r5).  Bit-identical outputs either way.
+    polar_taps: str = "auto"
 
     @property
     def half_polar_active(self) -> bool:
@@ -378,6 +385,7 @@ def load_config(path: str, *, load_camera: bool = True) -> SlamConfig:
         rotation_divisor=int(cfn.get("rotation_divisor", 720)),
         rotation_channel=int(cfn.get("rotation_channel", 480)),
         rotate_method=str(cfn.get("rotate_method", "fft")),
+        polar_taps=str(cfn.get("polar_taps", "auto")),
         half_polar=bool(cfn.get("half_polar", True)),
     )
 

@@ -182,6 +182,13 @@ def gather_slots_c2r(
     from nislam_tpu.ops.fft import r2c
 
     assert arr.shape[1:] == (*shape, 2), (arr.shape, shape)
+    # Residual (documented, accepted): XLA's layout assignment still
+    # reconciles the while-carry bank layout with the slice path's by ONE
+    # whole-bank copy per executed search (~3.4 ms at the HD config —
+    # down from four).  An optimization_barrier around the per-slice
+    # upcast was tried and does not remove it (the copy is placed at the
+    # cond-computation boundary, not at the convert); neither does a flat
+    # (K, N) store (3× slower overall — see KeyframeBank).
     parts = [
         jax.lax.dynamic_slice_in_dim(arr, slots[i], 1, axis=0).astype(
             jnp.float32

@@ -31,7 +31,9 @@ from nislam_tpu.core.config import CFConfig
 from nislam_tpu.ops.fft import impulse_spectrum_pair, irfft2, r2c, rfft2
 from nislam_tpu.ops.warp import (
     polar_quad_constants,
+    polar_resample,
     polar_resample_quad,
+    polar_tap_constants,
     rotate_wrap,
     rotate_wrap_fft_spectrum,
 )
@@ -63,10 +65,15 @@ class CFOps:
     # when half_polar is off.  Static: host floats baked into the trace.
     half_psr_a: float = dataclasses.field(metadata=dict(static=True))
     half_psr_b: float = dataclasses.field(metadata=dict(static=True))
+    # Resolved polar resample scheme: "quad" or "4tap" (CFConfig.polar_taps
+    # with "auto" decided at construction — static, selects the trace).
+    polar_scheme: str = dataclasses.field(metadata=dict(static=True))
     target_fft: jnp.ndarray  # (H, W//2+1, 2) f32 pair — impulse spectrum, image size
     target_rot_fft: jnp.ndarray  # (D, C//2+1, 2) f32 pair — impulse spectrum, polar size
-    polar_idx: jnp.ndarray  # (D, C) i32 — quad-packed power→polar base indices
-    polar_w: jnp.ndarray  # (D, C, 4) f32 — 2×2 footprint weights
+    # quad: idx (D, C) base indices + w (D, C, 4) footprint weights;
+    # 4tap: idx (D, C, 4) flat tap indices + w (D, C, 4) weights.
+    polar_idx: jnp.ndarray
+    polar_w: jnp.ndarray
 
 
 # Legacy global rotation-PSR scale of the half-size polar correlation
@@ -223,9 +230,20 @@ def make_cf_ops(cfg: CFConfig) -> CFOps:
     # pays for; bit-identical outputs, ops.warp.polar_quad_constants).
     # DC suppression stays a cheap elementwise pass (fold_dc-False
     # equivalent; measured best in r3, scripts/polarbench.py).
-    pidx, pw = polar_quad_constants(
-        cfg.height, cfg.width, cfg.rotation_divisor, cfg.rotation_channel
-    )
+    scheme = cfg.polar_taps
+    if scheme == "auto":
+        scheme = "4tap" if cfg.height * cfg.width >= 1_000_000 else "quad"
+    if scheme == "quad":
+        pidx, pw = polar_quad_constants(
+            cfg.height, cfg.width, cfg.rotation_divisor, cfg.rotation_channel
+        )
+    elif scheme == "4tap":
+        pidx, pw = polar_tap_constants(
+            cfg.height, cfg.width, cfg.rotation_divisor,
+            cfg.rotation_channel, fold_dc=False,
+        )
+    else:
+        raise ValueError(f"invalid polar_taps {cfg.polar_taps!r}")
     pd, pc = cfg.polar_shape
     # half_polar: keep only the rows covering angles [0, π) of the SAME
     # grid — the remaining rows are the centro-symmetric mirror (see
@@ -243,6 +261,7 @@ def make_cf_ops(cfg: CFConfig) -> CFOps:
         cfg=cfg,
         half_psr_a=a,
         half_psr_b=b,
+        polar_scheme=scheme,
         target_fft=jnp.asarray(impulse_spectrum_pair(cfg.height, cfg.width)),
         target_rot_fft=jnp.asarray(impulse_spectrum_pair(pd, pc)),
         polar_idx=jnp.asarray(pidx),
@@ -373,12 +392,14 @@ def compute_intermedium(
     cfg = ops.cfg
     f = rfft2(image)
     power = irfft2(jnp.abs(f), (cfg.height, cfg.width))
-    # fftshift + polar bilinear gather fused into one quad-packed table
-    # (one index per output, ops.warp.polar_quad_constants); DC suppression
-    # stays a cheap elementwise pass (scripts/polarbench.py).
-    pol = polar_resample_quad(
-        remove_zero_component(power), ops.polar_idx, ops.polar_w
+    # fftshift + polar bilinear gather fused into one precomputed table
+    # (quad-packed or 4-tap per CFOps.polar_scheme — bit-identical, chosen
+    # by size; CFConfig.polar_taps); DC suppression stays a cheap
+    # elementwise pass (scripts/polarbench.py).
+    resample = (
+        polar_resample_quad if ops.polar_scheme == "quad" else polar_resample
     )
+    pol = resample(remove_zero_component(power), ops.polar_idx, ops.polar_w)
     return f, rfft2(pol)
 
 

@@ -803,3 +803,22 @@ def test_polar_resample_quad_matches_4tap(rng, h, w, div, ch):
         polar_resample_quad(xb, jnp.asarray(base), jnp.asarray(w4))
     )
     np.testing.assert_allclose(gotb[2], want, atol=1e-6)
+
+
+def test_polar_taps_schemes_identical(rng):
+    """compute_intermedium under "quad" and "4tap" is bit-identical (the
+    auto threshold is a pure perf choice — CFConfig.polar_taps)."""
+    import dataclasses
+
+    img = jnp.asarray(_texture(rng))
+    outs = {}
+    for scheme in ("quad", "4tap"):
+        ops = make_cf_ops(dataclasses.replace(CFG, polar_taps=scheme))
+        assert ops.polar_scheme == scheme
+        outs[scheme] = compute_intermedium(img, ops)
+    np.testing.assert_array_equal(
+        np.asarray(outs["quad"][0]), np.asarray(outs["4tap"][0])
+    )
+    np.testing.assert_allclose(
+        np.asarray(outs["quad"][1]), np.asarray(outs["4tap"][1]), atol=2e-4
+    )
