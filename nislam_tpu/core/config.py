@@ -291,12 +291,14 @@ class SlamConfig:
     optimizer: OptimizerConfig = OptimizerConfig()
     saving: SavingConfig = SavingConfig()
     camera: CameraConfig = CameraConfig()
-    # lax.scan unroll factor for the per-frame chunk drivers.  On backends
-    # with a per-while-iteration overhead proportional to the carried state
-    # (the tunneled bench TPU round-trips non-aliasable carry updates at
-    # ~1 GB/s — measured in scripts/bwprobe*.py, round 5), unrolling k
-    # frames per while iteration divides that overhead by k at the cost of
-    # a k×-larger program (slower compile).  1 = plain scan.
+    # lax.scan unroll factor for the per-frame chunk drivers.  Measured
+    # on the bench TPU (r5, NISLAM_BENCH_UNROLL): unroll=4 LOSES at both
+    # the flagship (803→763 fps) and HD (147→80) configs — the engine's
+    # while carries alias in place, so unrolling only bloats the program
+    # and defeats buffer reuse.  Keep 1 unless profiling another backend
+    # shows a per-while-iteration overhead (trivial-body probes on the
+    # tunneled device do show one — scripts/bwprobe3.py — but the real
+    # engine does not).
     scan_unroll: int = 1
 
 
