@@ -70,7 +70,8 @@ class CFConfig:
     # materializes a 4× copy of the power array), "4tap" (four direct
     # gathers, no materialization), or "auto": quad below ~1 Mpx images,
     # 4tap above (at the HD config the quad pack writes+reads ~30 MB per
-    # frame and loses; measured r5).  Bit-identical outputs either way.
+    # frame and loses; measured r5).  Outputs identical up to border-
+    # cell summation order (last-ulp; tested at 1e-6).
     polar_taps: str = "auto"
 
     @property
@@ -341,6 +342,12 @@ def derive_response_thresholds(
     }
 
 
+def _validated(value: str, allowed: tuple, key: str) -> str:
+    if value not in allowed:
+        raise ValueError(f"{key}: {value!r} not in {allowed}")
+    return value
+
+
 def load_camera_config(path: str) -> CameraConfig:
     """Load the camera YAML (schema of /root/reference/src/camera.cc:20-75)."""
     with open(path) as f:
@@ -387,7 +394,10 @@ def load_config(path: str, *, load_camera: bool = True) -> SlamConfig:
         rotation_divisor=int(cfn.get("rotation_divisor", 720)),
         rotation_channel=int(cfn.get("rotation_channel", 480)),
         rotate_method=str(cfn.get("rotate_method", "fft")),
-        polar_taps=str(cfn.get("polar_taps", "auto")),
+        polar_taps=_validated(
+            str(cfn.get("polar_taps", "auto")), ("auto", "quad", "4tap"),
+            "correlation_flow.polar_taps",
+        ),
         half_polar=bool(cfn.get("half_polar", True)),
     )
 

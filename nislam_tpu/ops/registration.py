@@ -393,8 +393,8 @@ def compute_intermedium(
     f = rfft2(image)
     power = irfft2(jnp.abs(f), (cfg.height, cfg.width))
     # fftshift + polar bilinear gather fused into one precomputed table
-    # (quad-packed or 4-tap per CFOps.polar_scheme — bit-identical, chosen
-    # by size; CFConfig.polar_taps); DC suppression stays a cheap
+    # (quad-packed or 4-tap per CFOps.polar_scheme — equal to last-ulp,
+    # chosen by size; CFConfig.polar_taps); DC suppression stays a cheap
     # elementwise pass (scripts/polarbench.py).
     resample = (
         polar_resample_quad if ops.polar_scheme == "quad" else polar_resample

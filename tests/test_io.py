@@ -384,11 +384,10 @@ def test_cli_eval_subcommand(tmp_path):
             assert "loops" in rec and "solves" in rec
 
 
-def test_cli_nisf_stream_matches_python_reader(tmp_path):
-    """`run` streaming through the native NISF prefetch loader produces
-    byte-identical trajectory dumps to the Python dataset reader — with a
-    chunk size that forces a masked tail through the shared streamed
-    driver (VERDICT r4 weak #2/#3)."""
+def _nisf_vs_python_cli(tmp_path, n_frames, run_args):
+    """Shared scaffold: synth a dataset, run the CLI with the Python
+    reader and (after packing) the native NISF loader, assert
+    byte-identical trajectory dumps.  Skips without the native lib."""
     from nislam_tpu.io.native_loader import NativeChunkReader
 
     if not NativeChunkReader.available():
@@ -401,7 +400,7 @@ def test_cli_nisf_stream_matches_python_reader(tmp_path):
     ds = str(tmp_path / "ds")
     r = subprocess.run(
         [sys.executable, "-m", "nislam_tpu", "synth", "--out", ds,
-         "--frames", "50", "--height", "96", "--width", "128"],
+         "--frames", str(n_frames), "--height", "96", "--width", "128"],
         capture_output=True, text=True, env=env, timeout=600,
     )
     assert r.returncode == 0, r.stderr
@@ -410,8 +409,8 @@ def test_cli_nisf_stream_matches_python_reader(tmp_path):
         out = str(tmp_path / tag)
         r = subprocess.run(
             [sys.executable, "-m", "nislam_tpu", "run",
-             "--config", f"{ds}/config.yaml", "--chunk", "16",
-             "--saving-root", out] + extra,
+             "--config", f"{ds}/config.yaml", "--saving-root", out]
+            + run_args + extra,
             capture_output=True, text=True, env=env, timeout=600,
         )
         assert r.returncode == 0, r.stderr
@@ -432,46 +431,15 @@ def test_cli_nisf_stream_matches_python_reader(tmp_path):
             assert a.read() == b.read(), f
 
 
+def test_cli_nisf_stream_matches_python_reader(tmp_path):
+    """`run` streaming through the native NISF prefetch loader produces
+    byte-identical trajectory dumps to the Python dataset reader — with a
+    chunk size that forces a masked tail through the shared streamed
+    driver (VERDICT r4 weak #2/#3)."""
+    _nisf_vs_python_cli(tmp_path, 50, ["--chunk", "16"])
+
+
 def test_cli_step_mode_nisf_matches_python_reader(tmp_path):
     """Step mode through the zero-copy NISF frame accessor produces the
     same trajectory dumps as the Python per-frame reader."""
-    from nislam_tpu.io.native_loader import NativeChunkReader
-
-    if not NativeChunkReader.available():
-        import pytest
-
-        pytest.skip("native loader unavailable")
-    env = dict(os.environ)
-    env["JAX_PLATFORMS"] = "cpu"
-    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    ds = str(tmp_path / "ds")
-    r = subprocess.run(
-        [sys.executable, "-m", "nislam_tpu", "synth", "--out", ds,
-         "--frames", "24", "--height", "96", "--width", "128"],
-        capture_output=True, text=True, env=env, timeout=600,
-    )
-    assert r.returncode == 0, r.stderr
-    r = subprocess.run(
-        [sys.executable, "-m", "nislam_tpu", "pack", "--dataroot", ds,
-         "--out", f"{ds}/frames.nisf"],
-        capture_output=True, text=True, env=env, timeout=600,
-    )
-    assert r.returncode == 0, r.stderr
-
-    def run(extra, tag):
-        out = str(tmp_path / tag)
-        r = subprocess.run(
-            [sys.executable, "-m", "nislam_tpu", "run",
-             "--config", f"{ds}/config.yaml", "--mode", "step",
-             "--saving-root", out] + extra,
-            capture_output=True, text=True, env=env, timeout=600,
-        )
-        assert r.returncode == 0, r.stderr
-        return out, r.stdout
-
-    py_out, py_log = run(["--nisf", "off"], "py")
-    nf_out, nf_log = run([], "nisf")
-    assert "native loader" in nf_log and "native loader" not in py_log
-    for f in ("KCC_Keyframe.txt", "optimized_keyframe.txt"):
-        with open(os.path.join(py_out, f)) as a, open(os.path.join(nf_out, f)) as b:
-            assert a.read() == b.read(), f
+    _nisf_vs_python_cli(tmp_path, 24, ["--mode", "step"])
