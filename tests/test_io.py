@@ -443,3 +443,78 @@ def test_cli_step_mode_nisf_matches_python_reader(tmp_path):
     """Step mode through the zero-copy NISF frame accessor produces the
     same trajectory dumps as the Python per-frame reader."""
     _nisf_vs_python_cli(tmp_path, 24, ["--mode", "step"])
+
+
+def test_cli_calibrate_subcommand(tmp_path, capsys):
+    """`nislam_tpu calibrate` prints a parseable YAML snippet with sane
+    margins on the gaussian-anchor synthetic dataset (texture ratio ≈ 1)."""
+    from nislam_tpu.cli import main as cli_main
+
+    ds = str(tmp_path / "ds")
+    rc = cli_main([
+        "synth", "--out", ds, "--frames", "16",
+        "--height", "96", "--width", "128",
+    ])
+    assert rc == 0
+    rc = cli_main(["calibrate", "--config", f"{ds}/config.yaml",
+                   "--frames", "12"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "keyframe_selection:" in out and "loop_closure:" in out
+    import yaml
+
+    doc = yaml.safe_load(
+        "\n".join(l for l in out.splitlines() if not l.startswith("#"))
+    )
+    for k in ("lower_response_thr", "upper_response_thr"):
+        assert doc["keyframe_selection"][k] > 0
+    assert doc["loop_closure"]["position_response_thr"] > 0
+    # anchor-family sanity: ratio printed near 1
+    ratio_line = [l for l in out.splitlines() if "texture ratio" in l][0]
+    import re
+
+    vals = [float(v) for v in re.findall(r"[0-9.]+", ratio_line)]
+    assert all(0.6 <= v <= 1.6 for v in vals), ratio_line
+
+
+def test_run_snapshotter_unit(tmp_path, rng):
+    """RunSnapshotter emits numbered + latest artifacts from live state."""
+    import jax.numpy as jnp
+
+    from nislam_tpu.core.config import (
+        CFConfig,
+        CameraConfig,
+        MapStitcherConfig,
+        SlamConfig,
+        MapConfig,
+    )
+    from nislam_tpu.core.slam import make_engine
+    from nislam_tpu.io.visualization import RunSnapshotter
+    from nislam_tpu.utils.synthetic import make_world, render_frame
+
+    h, w = 96, 128
+    cfg = SlamConfig(
+        cf=CFConfig(width=w, height=h, rotation_divisor=90, rotation_channel=48),
+        map=MapConfig(keyframe_capacity=8, edge_capacity=16, store_images=True),
+        map_stitcher=MapStitcherConfig(canvas_size=512),
+        camera=CameraConfig(
+            image_width=w, image_height=h, height=1.0,
+            intrinsics=(float(w), w / 2.0, float(w), h / 2.0),
+        ),
+    )
+    eng = make_engine(cfg)
+    st = eng.init_state()
+    world = make_world(512, 3.0)
+    outs = []
+    from nislam_tpu.core.slam import unpack_step_output
+
+    for i, (px, py) in enumerate([(256, 256), (260, 256), (265, 257)]):
+        img = jnp.asarray(render_frame(world, h, w, float(px), float(py), 0.0))
+        st, packed = eng.step_packed(st, img)
+        outs.append(unpack_step_output(packed))
+    snap = RunSnapshotter(str(tmp_path), eng, cfg)
+    snap.emit(st, outs, 3)
+    assert os.path.exists(str(tmp_path / "snapshots" / "trajectory_000003.png"))
+    assert os.path.exists(str(tmp_path / "trajectory_latest.png"))
+    assert os.path.exists(str(tmp_path / "snapshots" / "occupancy_000003.png"))
+    assert os.path.exists(str(tmp_path / "occupancy_latest.png"))
