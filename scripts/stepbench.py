@@ -64,6 +64,9 @@ def main():
     if args.size == 640:
         h, w, rd, rc = 480, 640, 720, 480
         world_n, step_px = 4096, 8.0
+    elif args.size == 1200:
+        h, w, rd, rc = 1200, 1600, 720, 480
+        world_n, step_px = 4096, 8.0
     else:
         h, w, rd, rc = 256, 256, 360, 64
         world_n, step_px = 2048, 4.0
@@ -80,7 +83,8 @@ def main():
             upper_rotation_response_thr=thr["upper_rotation_response_thr"],
         ),
         map=MapConfig(
-            grid_scale=0.3 * h * px, keyframe_capacity=256,
+            grid_scale=0.3 * h * px,
+            keyframe_capacity=256 if args.size != 1200 else 128,
             edge_capacity=1024, store_images=False,
             cache_filters=True, bank_dtype="bf16",
         ),
