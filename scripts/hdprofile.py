@@ -38,9 +38,13 @@ def main():
         render_sequence,
     )
 
-    h, w, rd, rc = 1200, 1600, 720, 480
+    # Default: the HD config.  NISLAM_PROF_SIZE="H W [D C]" re-points the
+    # trace at another operating point (e.g. "480 640" for the flagship).
+    size = os.environ.get("NISLAM_PROF_SIZE", "1200 1600").split()
+    h, w = int(size[0]), int(size[1])
+    rd, rc = (int(size[2]), int(size[3])) if len(size) >= 4 else (720, 480)
     coarse = int(os.environ.get("NISLAM_BENCH_COARSE", "4"))
-    n = 48
+    n = int(os.environ.get("NISLAM_PROF_FRAMES", "48"))
     fx = float(w)
     px = 1.0 / fx
     step_px = 8.0
